@@ -1,0 +1,61 @@
+"""Solver options.
+
+Capability parity with the reference options struct
+(``/root/reference/src/HierarchicalSolvers.jl:30-79``): the nine reference fields
+(``swlevel, swsize, atol, rtol, c_tol, leafsize, kest, stepsize, verbose``) keep their
+names, defaults and validation semantics.  TPU-native extensions control static-shape
+planning (padding granularity, rank caps) which have no counterpart in the reference's
+dynamically-shaped Julia code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    # --- reference-parity fields (defaults: HierarchicalSolvers.jl:43-59) ---
+    swlevel: int = 5          # switching level at which to start compression
+    swsize: int = 1           # minimum boundary size for compression
+    atol: float = 1e-6        # absolute compression tolerance
+    rtol: float = 1e-6        # relative compression tolerance
+    c_tol: float = 0.5        # low-rank tol relative to HSS tol (ref declares but hard-codes 0.5)
+    leafsize: int = 32        # HSS leaf size
+    kest: int = -1            # initial rank estimate for randomized HSS sampling
+    stepsize: int = 10        # rank-growth step for adaptive sampling
+    verbose: bool = False
+
+    # --- TPU-native extensions (static-shape planning) ---
+    pad: int = 8              # pad front dims (ni, nb) up to multiples of this
+    rank_cap: int = 0         # static max rank for low-rank/HSS blocks (0 = planner decides)
+    rank_pad: int = 8         # pad ranks up to multiples of this
+    dtype: Optional[str] = None  # "float32" | "float64" | "complex64" | "complex128" | None (infer)
+
+    def replace(self, **kwargs) -> "SolverOptions":
+        """Kwarg-override copy (parity with ``copy(opts; args...)``,
+        HierarchicalSolvers.jl:62-71)."""
+        return dataclasses.replace(self, **kwargs)
+
+    def validate(self) -> None:
+        """Parity with ``chkopts!`` (HierarchicalSolvers.jl:73-79)."""
+        if self.swsize < 1:
+            raise ValueError("swsize must be >= 1")
+        if self.atol < 0.0:
+            raise ValueError("atol must be >= 0")
+        if self.rtol < 0.0:
+            raise ValueError("rtol must be >= 0")
+        if not (0.0 < self.c_tol <= 1.0):
+            raise ValueError("c_tol must be in (0, 1]")
+        if self.leafsize < 1:
+            raise ValueError("leafsize must be >= 1")
+        if self.pad < 1:
+            raise ValueError("pad must be >= 1")
+
+    def resolve_swlevel(self, tree_depth: int) -> int:
+        """Negative swlevel counts from the bottom: ``max(depth + swlevel, 0)``
+        (parity with factorization.jl:8)."""
+        if self.swlevel < 0:
+            return max(tree_depth + self.swlevel, 0)
+        return self.swlevel

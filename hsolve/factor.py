@@ -53,12 +53,25 @@ class RootSolve:
     bnd_ids: jax.Array   # [nbr] sentinel-padded
 
 
+for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids"]),
+                      (RootSolve, ["lu", "perm", "bnd_ids"])):
+    jax.tree_util.register_dataclass(_cls, data_fields=_fields, meta_fields=[])
+
+
+def _precision_ctx(opts: SolverOptions):
+    if opts.matmul_precision:
+        return jax.default_matmul_precision(opts.matmul_precision)
+    import contextlib
+    return contextlib.nullcontext()
+
+
 @dataclasses.dataclass
 class Factorization:
     """The assembled preconditioner / direct solver (reference ``FactorNode`` analog).
 
     ``solve`` applies the inverse in the original DOF ordering; ``apply_permuted``
     works in the planner's post-order permutation (what GMRES-on-A_perm uses).
+    Both paths run as a single jitted program over the per-level array stacks.
     """
 
     N: int
@@ -68,17 +81,18 @@ class Factorization:
     opts: SolverOptions
     plan: Plan
 
-    def apply_permuted(self, b: jax.Array) -> jax.Array:
-        return _apply(self.levels, self.root, self.N, b)
+    def __post_init__(self):
+        self._dperm = jnp.asarray(self.perm)
+
+    def apply_permuted(self, b) -> jax.Array:
+        with _precision_ctx(self.opts):
+            return _apply_jit(self.levels, self.root, jnp.asarray(b))
 
     def solve(self, b) -> jax.Array:
         """x = F^{-1} b in the original ordering (parity with ``ldiv!``,
         factornode.jl:62-74)."""
-        b = jnp.asarray(b)
-        bp = b[self.perm]
-        xp = self.apply_permuted(bp)
-        x = jnp.zeros_like(xp).at[self.perm].set(xp)
-        return x
+        with _precision_ctx(self.opts):
+            return _solve_jit(self.levels, self.root, self._dperm, jnp.asarray(b))
 
     ldiv = solve
 
@@ -92,8 +106,7 @@ class Factorization:
 # per-level kernels
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ni_pad",))
-def _factor_front(front: jax.Array, sperm: jax.Array, ni_pad: int):
+def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int):
     D = front[:, :ni_pad, :ni_pad]
     Aib = front[:, :ni_pad, ni_pad:]
     Abi = front[:, ni_pad:, :ni_pad]
@@ -105,13 +118,18 @@ def _factor_front(front: jax.Array, sperm: jax.Array, ni_pad: int):
     return lu, perm, L, R, S
 
 
-@jax.jit
-def _extend_add(front: jax.Array, stage: jax.Array, fmap: jax.Array) -> jax.Array:
+_factor_front = partial(jax.jit, static_argnames=("ni_pad",))(_factor_front_impl)
+
+
+def _extend_add_impl(front: jax.Array, stage: jax.Array, fmap: jax.Array) -> jax.Array:
     """front[b, fmap[b,i], fmap[b,j]] += stage[b, i, j], dropping sentinel positions."""
     B = front.shape[0]
     bidx = jnp.arange(B)[:, None, None]
     return front.at[bidx, fmap[:, :, None], fmap[:, None, :]].add(
         stage, mode="drop")
+
+
+_extend_add = jax.jit(_extend_add_impl)
 
 
 def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
@@ -129,15 +147,16 @@ def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
 # solve sweeps
 # ---------------------------------------------------------------------------
 
-def _apply(levels: List[DenseLevel], root: Optional[RootSolve], N: int,
-           b: jax.Array) -> jax.Array:
+def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
+                b: jax.Array) -> jax.Array:
     """Hierarchical solve (parity with ``ldiv!`` + ``_lsolve!/_dsolve!/_rsolve!``,
-    factornode.jl:62-99), as per-level batched GEMM/TRSM sweeps.
+    factornode.jl:62-99), as per-level batched GEMM/TRSM sweeps in one jitted program.
 
     Bottom-up: ``C[bnd] -= L C[int]`` then ``C[int] = D^{-1} C[int]`` (safe to fuse
     because a node's interior only receives updates from strictly deeper nodes);
     root boundary solve; top-down: ``C[int] -= R C[bnd]``.
     """
+    N = b.shape[0]
     vec = b.ndim == 1
     C = b[:, None] if vec else b
     k = C.shape[1]
@@ -160,53 +179,109 @@ def _apply(levels: List[DenseLevel], root: Optional[RootSolve], N: int,
     return C[:, 0] if vec else C
 
 
+_apply_jit = jax.jit(_apply_impl)
+
+
+@jax.jit
+def _solve_jit(levels, root, dperm, b):
+    bp = b[dperm] if b.ndim == 1 else b[dperm, :]
+    xp = _apply_impl(levels, root, bp)
+    return jnp.zeros_like(xp).at[dperm].set(xp)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
-def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None) -> Factorization:
-    """Execute the planner's schedule on device (dense exact path)."""
+def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
+                     mesh=None) -> Factorization:
+    """Execute the planner's schedule on device (dense exact path).
+
+    With ``mesh`` (a ('tree', 'front') jax Mesh), every level stack is sharded over the
+    node axis (elimination-tree parallelism) and XLA inserts the inter-level collectives
+    - see hsolve.parallel.dist."""
     if dtype is None:
         dtype = jnp.asarray(plan.A_perm.data[:1]).dtype
     levels: List[DenseLevel] = []
     s_stacks = {}
 
+    with _precision_ctx(opts):
+        return _factor_levels(plan, opts, dtype, levels, s_stacks, mesh)
+
+
+def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mesh):
+    from hsolve.parallel.dist import shard_level_input
+
+    def put(arr):
+        return shard_level_input(mesh, arr) if mesh is not None else arr
+
     for bidx, bp in enumerate(plan.batches):
-        front = jnp.asarray(bp.A_front, dtype=dtype)
+        front = put(jnp.asarray(bp.A_front, dtype=dtype))
         if not bp.is_leaf:
             if bp.groups_l:
                 stage_l = _stage_children(bp.groups_l, s_stacks, bp.B, bp.sl_pad, dtype)
-                front = _extend_add(front, stage_l, jnp.asarray(bp.map_l))
+                front = _extend_add(front, put(stage_l), jnp.asarray(bp.map_l))
             if bp.groups_r:
                 stage_r = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
-                front = _extend_add(front, stage_r, jnp.asarray(bp.map_r))
+                front = _extend_add(front, put(stage_r), jnp.asarray(bp.map_r))
         lu, perm, L, R, S = _factor_front(front, jnp.asarray(bp.sperm), bp.ni_pad)
         s_stacks[bidx] = S
         levels.append(DenseLevel(
             lu=lu, perm=perm, L=L, R=R,
             int_ids=jnp.asarray(bp.int_ids), bnd_ids=jnp.asarray(bp.bnd_ids)))
 
-    root = None
-    if plan.nb_root > 0:
-        last = plan.batches[-1]
-        S_root = s_stacks[len(plan.batches) - 1][0]
-        # padded diagonal -> identity so the root LU stays well-defined
-        nbr = plan.nb_root
-        pad = jnp.arange(S_root.shape[0]) >= nbr
-        S_root = S_root + jnp.diag(pad.astype(dtype))
-        lu, perm = dk.lu_factor(S_root)
-        root = RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]))
-
+    root = _root_from_stacks(plan, s_stacks, dtype)
     return Factorization(N=plan.N, perm=plan.perm, levels=levels, root=root,
                          opts=opts, plan=plan)
 
 
+def _root_from_stacks(plan: Plan, s_stacks, dtype) -> Optional[RootSolve]:
+    if plan.nb_root == 0:
+        return None
+    last = plan.batches[-1]
+    S_root = s_stacks[len(plan.batches) - 1][0]
+    # padded diagonal -> identity so the root LU stays well-defined
+    pad = jnp.arange(S_root.shape[0]) >= plan.nb_root
+    S_root = S_root + jnp.diag(pad.astype(dtype))
+    lu, perm = dk.lu_factor(S_root)
+    return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]))
+
+
+def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
+    """Pure traceable numeric phase: per-batch front buffers in, (levels, root) out.
+
+    Lets the *entire* factorization be staged as one jitted program (used by the
+    multi-chip dry-run and fusion experiments); ``factor_with_plan`` uses the per-level
+    jits instead so equal-shaped levels share compilations."""
+    levels: List[DenseLevel] = []
+    s_stacks = {}
+    dtype = fronts[0].dtype
+    for bidx, bp in enumerate(plan.batches):
+        front = fronts[bidx]
+        if not bp.is_leaf:
+            if bp.groups_l:
+                stage = _stage_children(bp.groups_l, s_stacks, bp.B, bp.sl_pad, dtype)
+                front = _extend_add_impl(front, stage, jnp.asarray(bp.map_l))
+            if bp.groups_r:
+                stage = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
+                front = _extend_add_impl(front, stage, jnp.asarray(bp.map_r))
+        lu, perm, L, R, S = _factor_front_impl(front, jnp.asarray(bp.sperm), bp.ni_pad)
+        s_stacks[bidx] = S
+        levels.append(DenseLevel(
+            lu=lu, perm=perm, L=L, R=R,
+            int_ids=jnp.asarray(bp.int_ids), bnd_ids=jnp.asarray(bp.bnd_ids)))
+    root = _root_from_stacks(plan, s_stacks, dtype)
+    return levels, root
+
+
 def factor(A: sp.spmatrix, tree: NDTree, opts: Optional[SolverOptions] = None,
-           dtype=None, **overrides) -> Factorization:
+           dtype=None, mesh=None, **overrides) -> Factorization:
     """Top-level entry (parity with ``factor(A, nd, nd_loc, opts; args...)``,
     factorization.jl:5-11).  The symbolic phase (``symfact`` + permutation) runs inside
-    the planner, so only (A, tree) are needed."""
+    the planner, so only (A, tree) are needed.  Pass ``mesh`` (see
+    hsolve.parallel.dist.make_mesh) to shard the factorization across devices."""
     opts = (opts or SolverOptions()).replace(**overrides)
     opts.validate()
-    plan = plan_factorization(A, tree, opts)
-    return factor_with_plan(plan, opts, dtype=dtype)
+    batch_multiple = int(mesh.shape["tree"]) if mesh is not None else 1
+    plan = plan_factorization(A, tree, opts, batch_multiple=batch_multiple)
+    return factor_with_plan(plan, opts, dtype=dtype, mesh=mesh)

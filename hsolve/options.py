@@ -32,6 +32,10 @@ class SolverOptions:
     rank_cap: int = 0         # static max rank for low-rank/HSS blocks (0 = planner decides)
     rank_pad: int = 8         # pad ranks up to multiples of this
     dtype: Optional[str] = None  # "float32" | "float64" | "complex64" | "complex128" | None (infer)
+    # TPU matmuls default to bfloat16 passes; "highest" keeps f32 kernels at full
+    # f32 accuracy (required for exact-mode parity), "default" trades accuracy for
+    # ~3-6x MXU throughput (fine for loose-tolerance preconditioners).
+    matmul_precision: str = "highest"
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,

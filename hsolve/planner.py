@@ -71,7 +71,7 @@ class BatchPlan:
 
     @property
     def B(self) -> int:
-        return len(self.node_ids)
+        return self.A_front.shape[0]  # includes sharding-padding dummy rows
 
     @property
     def m_pad(self) -> int:
@@ -104,12 +104,18 @@ def _extract_dense(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray) -> np.n
     return np.asarray(A[rows][:, cols].todense())
 
 
-def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions) -> Plan:
-    """Run the symbolic phase and build the batched numeric schedule."""
+def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
+                       batch_multiple: int = 1) -> Plan:
+    """Run the symbolic phase and build the batched numeric schedule.
+
+    batch_multiple: round every level's batch size up to a multiple of this (with
+    decoupled identity dummy fronts), so the node axis divides a device-mesh axis.
+    """
     opts.validate()
     A = sp.csr_matrix(A)
     N = A.shape[0]
 
+    tree = tree.copy()  # symfact/permuted mutate; keep the caller's tree reusable
     loc = symfact(tree)
     perm = postorder(tree)
     if len(perm) != N or len(np.unique(perm)) != N:
@@ -139,15 +145,20 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions) -> Pla
     batches: List[BatchPlan] = []
 
     for bidx, nodes in enumerate(batches_nodes):
-        B = len(nodes)
+        B0 = len(nodes)
+        B = _round_up(B0, batch_multiple)  # dummy rows beyond B0 (sharding padding)
         is_leaf_batch = bidx == 0
-        ni = np.array([len(tree.int_idx[i]) for i in nodes], dtype=np.int64)
-        nb = np.array([len(tree.bnd_idx[i]) for i in nodes], dtype=np.int64)
+        ni = np.zeros(B, dtype=np.int64)
+        nb = np.zeros(B, dtype=np.int64)
+        ni[:B0] = [len(tree.int_idx[i]) for i in nodes]
+        nb[:B0] = [len(tree.bnd_idx[i]) for i in nodes]
         ni_pad = _round_up(int(ni.max()), opts.pad)
         nb_pad = _round_up(int(nb.max()), opts.pad) if nb.max() > 0 else 0
         m_pad = ni_pad + nb_pad
 
         A_front = np.zeros((B, m_pad, m_pad), dtype=A.dtype)
+        diag = np.arange(ni_pad)
+        A_front[B0:, diag, diag] = 1.0  # dummy fronts: identity pivot block
         sperm = np.tile(np.arange(nb_pad, dtype=np.int64), (B, 1)) if nb_pad else \
             np.zeros((B, 0), dtype=np.int64)
         int_ids = np.full((B, ni_pad), N, dtype=np.int64)
@@ -226,10 +237,12 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions) -> Pla
                 out.append(ChildGroup(src_batch, src_rows, dst_rows))
             return tuple(out)
 
+        lev_arr = np.zeros(B, dtype=np.int64)
+        lev_arr[:B0] = levels[nodes]
         batches.append(BatchPlan(
             node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,
             ni=ni, nb=nb, A_front=A_front, sperm=sperm, int_ids=int_ids,
-            bnd_ids=bnd_ids, levels=levels[nodes], sl_pad=sl_pad, sr_pad=sr_pad,
+            bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
             map_l=map_l, map_r=map_r,
             groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
 

@@ -45,6 +45,11 @@ class NDTree:
     def nnodes(self) -> int:
         return len(self.int_idx)
 
+    def copy(self) -> "NDTree":
+        return NDTree(left=self.left.copy(), right=self.right.copy(),
+                      int_idx=[s.copy() for s in self.int_idx],
+                      bnd_idx=[s.copy() for s in self.bnd_idx], root=self.root)
+
     def is_leaf(self, i: int) -> bool:
         return self.left[i] == NONE and self.right[i] == NONE
 

@@ -61,6 +61,16 @@ def test_single_leaf_tree():
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
 
 
+def test_factor_twice_same_tree():
+    """Planning must not mutate the caller's tree (regression: re-factoring with the
+    same tree object corrupted the second plan)."""
+    A, b, shape = poisson2d(17)
+    tree = nested_dissection(shape, leafmax=20)
+    x1 = np.asarray(factor(A, tree, swlevel=0).solve(b))
+    x2 = np.asarray(factor(A, tree, swlevel=0).solve(b))
+    assert np.allclose(x1, x2)
+
+
 def test_gmres_with_exact_preconditioner():
     """Parity with rungmres.jl:47: an exact factorization as right preconditioner
     converges in ~1 iteration."""

@@ -53,8 +53,28 @@ class RootSolve:
     bnd_ids: jax.Array   # [nbr] sentinel-padded
 
 
+@dataclasses.dataclass
+class CompressedLevel:
+    """Factor data for a compressed height level: the Gauss transforms are stored in
+    tolerance-truncated low-rank form (parity with ``_lgauss_transform`` /
+    ``_rgauss_transform``, factorization.jl:171-209)."""
+
+    lu: jax.Array        # [B, ni_pad, ni_pad]
+    perm: jax.Array      # [B, ni_pad]
+    LU_: jax.Array       # L ~= LU_ @ LV_^T : [B, nb_pad, k]
+    LV_: jax.Array       # [B, ni_pad, k]
+    RU_: jax.Array       # R ~= RU_ @ RV_^T : [B, ni_pad, k]
+    RV_: jax.Array       # [B, nb_pad, k]
+    lrank: jax.Array     # [B]
+    rrank: jax.Array     # [B]
+    int_ids: jax.Array
+    bnd_ids: jax.Array
+
+
 for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids"]),
-                      (RootSolve, ["lu", "perm", "bnd_ids"])):
+                      (RootSolve, ["lu", "perm", "bnd_ids"]),
+                      (CompressedLevel, ["lu", "perm", "LU_", "LV_", "RU_", "RV_",
+                                         "lrank", "rrank", "int_ids", "bnd_ids"])):
     jax.tree_util.register_dataclass(_cls, data_fields=_fields, meta_fields=[])
 
 
@@ -99,7 +119,11 @@ class Factorization:
     def maxrank(self) -> int:
         """Max compression rank across the factorization (parity with ``maxrank``,
         factornode.jl:49-57); 0 on the dense path."""
-        return 0
+        r = 0
+        for lev in self.levels:
+            if isinstance(lev, CompressedLevel):
+                r = max(r, int(jnp.max(lev.lrank)), int(jnp.max(lev.rrank)))
+        return r
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +143,47 @@ def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int):
 
 
 _factor_front = partial(jax.jit, static_argnames=("ni_pad",))(_factor_front_impl)
+
+
+def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
+                                  ni_pad: int, cap: int, atol: float, rtol: float,
+                                  c_tol: float):
+    """Compressed branch kernel (parity with ``_factor_branch`` Val{true},
+    factorization.jl:78-112, with the Schur update using the compressed transforms as
+    in ``_schur_complement``, :228-235):
+
+    - Gauss transforms from randomized tolerance-truncated factorization of the
+      off-diagonal front blocks at ``c_tol * tol`` (the reference hard-codes 0.5,
+      factorization.jl:99-100; we honor the declared ``c_tol`` option),
+    - ``L = (U_bi) (D^-T V_bi)^T``, ``R = (D^-1 U_ib) V_ib^T`` - the D-solve touches
+      only k columns instead of the full boundary,
+    - ``S = Abb - (Abi R.U) R.V^T`` (exact Abi, compressed R - matching the
+      reference's sampling operator).
+    """
+    from hsolve.ops.lowrank import rand_lowrank
+
+    D = front[:, :ni_pad, :ni_pad]
+    Aib = front[:, :ni_pad, ni_pad:]
+    Abi = front[:, ni_pad:, :ni_pad]
+    Abb = front[:, ni_pad:, ni_pad:]
+    lu, perm = dk.lu_factor(D)
+
+    k1, k2 = jax.random.split(key)
+    lr_bi = rand_lowrank(Abi, k1, c_tol * atol, c_tol * rtol, cap)
+    lr_ib = rand_lowrank(Aib, k2, c_tol * atol, c_tol * rtol, cap)
+
+    LV = jnp.swapaxes(dk.lu_solve_right(lu, perm, jnp.swapaxes(lr_bi.V, -1, -2)),
+                      -1, -2)                     # D^{-T}-folded: [B, ni_pad, k]
+    RU = dk.lu_solve(lu, perm, lr_ib.U)           # [B, ni_pad, k]
+
+    S = Abb - (Abi @ RU) @ jnp.swapaxes(lr_ib.V, -1, -2)
+    S = dk.permute_sym(S, sperm)
+    return lu, perm, lr_bi.U, LV, RU, lr_ib.V, lr_bi.rank, lr_ib.rank, S
+
+
+_factor_front_compressed = partial(
+    jax.jit, static_argnames=("ni_pad", "cap", "atol", "rtol", "c_tol"))(
+        _factor_front_compressed_impl)
 
 
 def _extend_add_impl(front: jax.Array, stage: jax.Array, fmap: jax.Array) -> jax.Array:
@@ -164,7 +229,11 @@ def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
 
     for lev in levels:
         x = C[lev.int_ids]                      # [B, ni_pad, k]
-        C = C.at[lev.bnd_ids].add(-(lev.L @ x), mode="drop")
+        if isinstance(lev, CompressedLevel):
+            y = lev.LU_ @ (jnp.swapaxes(lev.LV_, -1, -2) @ x)
+        else:
+            y = lev.L @ x
+        C = C.at[lev.bnd_ids].add(-y, mode="drop")
         C = C.at[lev.int_ids].set(dk.lu_solve(lev.lu, lev.perm, x), mode="drop")
 
     if root is not None:
@@ -173,7 +242,11 @@ def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
 
     for lev in reversed(levels):
         xb = C[lev.bnd_ids]                     # [B, nb_pad, k]
-        C = C.at[lev.int_ids].add(-(lev.R @ xb), mode="drop")
+        if isinstance(lev, CompressedLevel):
+            upd = lev.RU_ @ (jnp.swapaxes(lev.RV_, -1, -2) @ xb)
+        else:
+            upd = lev.R @ xb
+        C = C.at[lev.int_ids].add(-upd, mode="drop")
 
     C = C[:N]
     return C[:, 0] if vec else C
@@ -209,6 +282,29 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
         return _factor_levels(plan, opts, dtype, levels, s_stacks, mesh)
 
 
+def _batch_kernel(bp: BatchPlan, front: jax.Array, opts: SolverOptions, bidx: int,
+                  jitted: bool):
+    """Run one batch's numeric kernel; returns (level record, S stack)."""
+    sperm = jnp.asarray(bp.sperm)
+    int_ids = jnp.asarray(bp.int_ids)
+    bnd_ids = jnp.asarray(bp.bnd_ids)
+    if bp.compress:
+        key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), bidx)
+        fn = _factor_front_compressed if jitted else _factor_front_compressed_impl
+        lu, perm, LU_, LV_, RU_, RV_, lrank, rrank, S = fn(
+            front, sperm, key, ni_pad=bp.ni_pad, cap=bp.rank_cap,
+            atol=opts.atol, rtol=opts.rtol, c_tol=opts.c_tol)
+        lev = CompressedLevel(lu=lu, perm=perm, LU_=LU_, LV_=LV_, RU_=RU_, RV_=RV_,
+                              lrank=lrank, rrank=rrank,
+                              int_ids=int_ids, bnd_ids=bnd_ids)
+    else:
+        fn = _factor_front if jitted else _factor_front_impl
+        lu, perm, L, R, S = fn(front, sperm, ni_pad=bp.ni_pad)
+        lev = DenseLevel(lu=lu, perm=perm, L=L, R=R,
+                         int_ids=int_ids, bnd_ids=bnd_ids)
+    return lev, S
+
+
 def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mesh):
     from hsolve.parallel.dist import shard_level_input
 
@@ -224,11 +320,9 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
             if bp.groups_r:
                 stage_r = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
                 front = _extend_add(front, put(stage_r), jnp.asarray(bp.map_r))
-        lu, perm, L, R, S = _factor_front(front, jnp.asarray(bp.sperm), bp.ni_pad)
+        lev, S = _batch_kernel(bp, front, opts, bidx, jitted=True)
         s_stacks[bidx] = S
-        levels.append(DenseLevel(
-            lu=lu, perm=perm, L=L, R=R,
-            int_ids=jnp.asarray(bp.int_ids), bnd_ids=jnp.asarray(bp.bnd_ids)))
+        levels.append(lev)
 
     root = _root_from_stacks(plan, s_stacks, dtype)
     return Factorization(N=plan.N, perm=plan.perm, levels=levels, root=root,
@@ -256,6 +350,7 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
     levels: List[DenseLevel] = []
     s_stacks = {}
     dtype = fronts[0].dtype
+    opts = plan.opts or SolverOptions()
     for bidx, bp in enumerate(plan.batches):
         front = fronts[bidx]
         if not bp.is_leaf:
@@ -265,11 +360,9 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
             if bp.groups_r:
                 stage = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
                 front = _extend_add_impl(front, stage, jnp.asarray(bp.map_r))
-        lu, perm, L, R, S = _factor_front_impl(front, jnp.asarray(bp.sperm), bp.ni_pad)
+        lev, S = _batch_kernel(bp, front, opts, bidx, jitted=False)
         s_stacks[bidx] = S
-        levels.append(DenseLevel(
-            lu=lu, perm=perm, L=L, R=R,
-            int_ids=jnp.asarray(bp.int_ids), bnd_ids=jnp.asarray(bp.bnd_ids)))
+        levels.append(lev)
     root = _root_from_stacks(plan, s_stacks, dtype)
     return levels, root
 

@@ -103,7 +103,12 @@ def gmres(matvec: Callable, b: jax.Array, M: Optional[Callable] = None,
             x = x + M(upd)
             have_x = True
         iters += j_done
-        converged = bool(history[-1] <= tol)
+        # the Givens estimate drifts when M is applied in lower precision; declare
+        # convergence only on the true residual (this also makes restarted cycles act
+        # as iterative refinement around a reduced-precision preconditioner)
+        true_res = float(jnp.linalg.norm(b - matvec(x)))
+        history[-1] = true_res
+        converged = bool(true_res <= tol)
 
     info = {"resnorm": np.asarray(history, dtype=np.float64), "iters": iters,
             "converged": converged}

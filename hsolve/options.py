@@ -36,6 +36,7 @@ class SolverOptions:
     # f32 accuracy (required for exact-mode parity), "default" trades accuracy for
     # ~3-6x MXU throughput (fine for loose-tolerance preconditioners).
     matmul_precision: str = "highest"
+    seed: int = 123           # PRNG seed for randomized compression (rungmres.jl:7)
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,

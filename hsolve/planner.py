@@ -61,6 +61,8 @@ class BatchPlan:
     int_ids: np.ndarray        # [B, ni_pad] global (permuted) DOF ids, sentinel N
     bnd_ids: np.ndarray        # [B, nb_pad] global (permuted) DOF ids, sentinel N
     levels: np.ndarray         # [B] reference recursion level (root = 1)
+    compress: bool = False     # this batch's fronts get compressed L/R (+HSS S)
+    rank_cap: int = 0          # static low-rank cap for compressed batches
     # branch-only extend-add data (None for the leaf batch):
     sl_pad: int = 0
     sr_pad: int = 0
@@ -91,6 +93,7 @@ class Plan:
     A_perm: sp.csr_matrix      # the permuted matrix (device ELL built from this)
     tree: NDTree               # relabeled tree (indices are positions in A_perm)
     loc: LocTree
+    opts: "SolverOptions" = None
 
     @property
     def nnz(self) -> int:
@@ -129,7 +132,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     depth = tree.depth()
     levels = tree.levels()
 
-    # --- schedule: group nodes by height ---
+    # --- schedule: group nodes by height, split by compression flag ---
     order = tree.topo_order()
     height = np.zeros(tree.nnodes, dtype=np.int64)
     for i in order:
@@ -137,17 +140,28 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         if l != NONE:
             height[i] = 1 + max(height[l], height[r])
     max_h = int(height[tree.root])
-    batches_nodes = [np.asarray([i for i in order if height[i] == h], dtype=np.int64)
-                     for h in range(max_h + 1)]
+
+    # per-node compression flag (parity with factorization.jl:15:
+    # level <= swlevel and |bnd| >= swsize)
+    swlevel = opts.resolve_swlevel(depth)
+    cflag = np.array([(levels[i] <= swlevel) and (len(tree.bnd_idx[i]) >= opts.swsize)
+                      for i in range(tree.nnodes)], dtype=bool)
+
+    groups: List[Tuple[np.ndarray, bool, bool]] = []  # (nodes, is_leaf, compress)
+    for h in range(max_h + 1):
+        at_h = np.asarray([i for i in order if height[i] == h], dtype=np.int64)
+        for want in (False, True):
+            sel = at_h[cflag[at_h] == want]
+            if len(sel):
+                groups.append((sel, h == 0, want))
 
     # node -> (batch, row) location of its Schur complement
     s_loc: Dict[int, Tuple[int, int]] = {}
     batches: List[BatchPlan] = []
 
-    for bidx, nodes in enumerate(batches_nodes):
+    for bidx, (nodes, is_leaf_batch, compress) in enumerate(groups):
         B0 = len(nodes)
         B = _round_up(B0, batch_multiple)  # dummy rows beyond B0 (sharding padding)
-        is_leaf_batch = bidx == 0
         ni = np.zeros(B, dtype=np.int64)
         nb = np.zeros(B, dtype=np.int64)
         ni[:B0] = [len(tree.int_idx[i]) for i in nodes]
@@ -239,13 +253,18 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
 
         lev_arr = np.zeros(B, dtype=np.int64)
         lev_arr[:B0] = levels[nodes]
+        rank_cap = 0
+        if compress and nb_pad > 0:
+            cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
+            rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
         batches.append(BatchPlan(
             node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,
             ni=ni, nb=nb, A_front=A_front, sperm=sperm, int_ids=int_ids,
             bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
-            map_l=map_l, map_r=map_r,
+            map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
+            rank_cap=rank_cap,
             groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
 
     nb_root = len(tree.bnd_idx[tree.root])
     return Plan(N=N, perm=perm, batches=batches, tree_depth=depth, nb_root=nb_root,
-                A_perm=A_perm, tree=tree, loc=loc)
+                A_perm=A_perm, tree=tree, loc=loc, opts=opts)

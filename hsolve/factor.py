@@ -199,13 +199,42 @@ _extend_add = jax.jit(_extend_add_impl)
 
 def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
     """Gather the children Schur complements (possibly from several earlier levels)
-    into one [B, s_pad, s_pad] staging buffer."""
+    into one [B, s_pad, s_pad] staging buffer.  HSS children are densified (fallback
+    for parents outside the structured path)."""
+    from hsolve.structured import SchurHss, densify_schur
+
     stage = jnp.zeros((B, s_pad, s_pad), dtype=dtype)
     for g in groups:
         src = s_stacks[g.src_batch]
+        if isinstance(src, SchurHss):
+            sel = jax.tree_util.tree_map(lambda a: a[g.src_rows], src)
+            dense = densify_schur(sel, s_pad)
+            stage = stage.at[g.dst_rows].set(dense)
+            continue
         m = min(s_pad, src.shape[-1])
         stage = stage.at[g.dst_rows, :m, :m].set(src[g.src_rows, :m, :m])
     return stage
+
+
+def _gather_schur(groups, s_stacks, B: int):
+    """Select child SchurHss rows for a structured batch (single source batch)."""
+    from hsolve.structured import SchurHss
+
+    assert len(groups) == 1, "structured batch requires a single child source"
+    g = groups[0]
+    src = s_stacks[g.src_batch]
+    assert isinstance(src, SchurHss)
+    src_for_dst = np.zeros(B, dtype=np.int64)
+    src_for_dst[g.dst_rows] = g.src_rows
+    idx = jnp.asarray(src_for_dst)
+    out = jax.tree_util.tree_map(lambda a: a[idx], src)
+    # dummy rows must stay decoupled: zero their content sizes
+    mask = np.zeros(B, dtype=bool)
+    mask[g.dst_rows] = True
+    mj = jnp.asarray(mask)
+    out.n1 = jnp.where(mj, out.n1, 0)
+    out.n2 = jnp.where(mj, out.n2, 0)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -227,22 +256,35 @@ def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
     k = C.shape[1]
     C = jnp.concatenate([C, jnp.zeros((1, k), dtype=C.dtype)], axis=0)  # sentinel row
 
+    from hsolve.structured import StructuredLevel, d_apply
+
     for lev in levels:
         x = C[lev.int_ids]                      # [B, ni_pad, k]
-        if isinstance(lev, CompressedLevel):
+        if isinstance(lev, (CompressedLevel, StructuredLevel)):
             y = lev.LU_ @ (jnp.swapaxes(lev.LV_, -1, -2) @ x)
         else:
             y = lev.L @ x
         C = C.at[lev.bnd_ids].add(-y, mode="drop")
-        C = C.at[lev.int_ids].set(dk.lu_solve(lev.lu, lev.perm, x), mode="drop")
+        if isinstance(lev, StructuredLevel):
+            xd = d_apply(lev, x)
+        else:
+            xd = dk.lu_solve(lev.lu, lev.perm, x)
+        C = C.at[lev.int_ids].set(xd, mode="drop")
 
     if root is not None:
-        xr = C[root.bnd_ids]                    # [nbr, k]
-        C = C.at[root.bnd_ids].set(dk.lu_solve(root.lu, root.perm, xr), mode="drop")
+        if isinstance(root, RootHss):
+            from hsolve.ops.hss import hss_solve
+
+            xr = C[root.ids_pad]
+            C = C.at[root.ids_pad].set(hss_solve(root.solver, xr), mode="drop")
+        else:
+            xr = C[root.bnd_ids]                # [nbr, k]
+            C = C.at[root.bnd_ids].set(dk.lu_solve(root.lu, root.perm, xr),
+                                       mode="drop")
 
     for lev in reversed(levels):
         xb = C[lev.bnd_ids]                     # [B, nb_pad, k]
-        if isinstance(lev, CompressedLevel):
+        if isinstance(lev, (CompressedLevel, StructuredLevel)):
             upd = lev.RU_ @ (jnp.swapaxes(lev.RV_, -1, -2) @ xb)
         else:
             upd = lev.R @ xb
@@ -312,6 +354,11 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
         return shard_level_input(mesh, arr) if mesh is not None else arr
 
     for bidx, bp in enumerate(plan.batches):
+        if bp.structured:
+            lev, S = _run_structured(bp, s_stacks, opts, dtype, bidx)
+            s_stacks[bidx] = S
+            levels.append(lev)
+            continue
         front = put(jnp.asarray(bp.A_front, dtype=dtype))
         if not bp.is_leaf:
             if bp.groups_l:
@@ -321,6 +368,11 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
                 stage_r = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
                 front = _extend_add(front, put(stage_r), jnp.asarray(bp.map_r))
         lev, S = _batch_kernel(bp, front, opts, bidx, jitted=True)
+        if bp.compress and bp.cplan is not None and opts.hss:
+            from hsolve.structured import transition_compress
+
+            S = transition_compress(S, jnp.asarray(bp.n1), jnp.asarray(bp.n2),
+                                    bp.cplan, opts.atol, opts.rtol, bp.rank_cap)
         s_stacks[bidx] = S
         levels.append(lev)
 
@@ -329,11 +381,59 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
                          opts=opts, plan=plan)
 
 
-def _root_from_stacks(plan: Plan, s_stacks, dtype) -> Optional[RootSolve]:
+def _run_structured(bp: BatchPlan, s_stacks, opts: SolverOptions, dtype, bidx: int):
+    from hsolve.structured import structured_factor_batch
+
+    sh1 = _gather_schur(bp.groups_l, s_stacks, bp.B)
+    sh2 = _gather_schur(bp.groups_r, s_stacks, bp.B)
+    cross = {k: (jnp.asarray(v, dtype=dtype) if v.ndim == 3 else jnp.asarray(v))
+             for k, v in bp.cross.items()}
+    key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), 7000 + bidx)
+    return structured_factor_batch(
+        sh1, sh2, cross, jnp.asarray(bp.smap), bp.cplan,
+        jnp.asarray(bp.n1), jnp.asarray(bp.n2),
+        jnp.asarray(bp.int_ids), jnp.asarray(bp.bnd_ids), opts, key, bp.rank_cap)
+
+
+@dataclasses.dataclass
+class RootHss:
+    """Root boundary solve with an HSS Schur complement (HSS ULV-equivalent of the
+    reference's root solve, factornode.jl:72)."""
+
+    solver: object            # HssSolver (unbatched)
+    ids_pad: jax.Array        # [n_pad] global dof ids in HSS pad coords, sentinel N
+
+
+jax.tree_util.register_dataclass(RootHss, data_fields=["solver", "ids_pad"],
+                                 meta_fields=[])
+
+
+def _root_from_stacks(plan: Plan, s_stacks, dtype):
+    from hsolve.ops.hss import hss_factor
+    from hsolve.structured import SchurHss
+
     if plan.nb_root == 0:
         return None
     last = plan.batches[-1]
-    S_root = s_stacks[len(plan.batches) - 1][0]
+    S_root = s_stacks[len(plan.batches) - 1]
+    if isinstance(S_root, SchurHss):
+        h0 = jax.tree_util.tree_map(lambda a: a[0], S_root.h)
+        solver = hss_factor(h0)
+        npd = S_root.cplan.n_pad
+        nbr = plan.nb_root
+        bnd0 = np.asarray(last.bnd_ids[0])
+        if last.structured:
+            # structured bnd_ids are child-aligned: [bnd1 @ 0, bnd2 @ q1]
+            cq1 = last.child_cplans[0].n_pad - last.child_cplans[0].half
+            nb1r = int(last.cross["nb1"][0])
+            s = np.arange(nbr)
+            bnd0 = bnd0[np.where(s < nb1r, s, cq1 + s - nb1r)]
+        else:
+            bnd0 = bnd0[:nbr]
+        ids = np.full((npd,), plan.N, dtype=np.int64)
+        ids[:nbr] = bnd0
+        return RootHss(solver=solver, ids_pad=jnp.asarray(ids))
+    S_root = S_root[0]
     # padded diagonal -> identity so the root LU stays well-defined
     pad = jnp.arange(S_root.shape[0]) >= plan.nb_root
     S_root = S_root + jnp.diag(pad.astype(dtype))
@@ -352,6 +452,11 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
     dtype = fronts[0].dtype
     opts = plan.opts or SolverOptions()
     for bidx, bp in enumerate(plan.batches):
+        if bp.structured:
+            lev, S = _run_structured(bp, s_stacks, opts, dtype, bidx)
+            s_stacks[bidx] = S
+            levels.append(lev)
+            continue
         front = fronts[bidx]
         if not bp.is_leaf:
             if bp.groups_l:
@@ -361,6 +466,11 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
                 stage = _stage_children(bp.groups_r, s_stacks, bp.B, bp.sr_pad, dtype)
                 front = _extend_add_impl(front, stage, jnp.asarray(bp.map_r))
         lev, S = _batch_kernel(bp, front, opts, bidx, jitted=False)
+        if bp.compress and bp.cplan is not None and opts.hss:
+            from hsolve.structured import transition_compress
+
+            S = transition_compress(S, jnp.asarray(bp.n1), jnp.asarray(bp.n2),
+                                    bp.cplan, opts.atol, opts.rtol, bp.rank_cap)
         s_stacks[bidx] = S
         levels.append(lev)
     root = _root_from_stacks(plan, s_stacks, dtype)

@@ -377,7 +377,8 @@ def hss_compress_dense(A: jax.Array, plan: ClusterPlan, atol: float, rtol: float
 class SampleOps(NamedTuple):
     """Matrix-free access to the operator being compressed (the reference's
     ``LinearMap`` closures, factorization.jl:228-235): ``sample(X, adjoint)`` computes
-    S@X / S^T@X; ``blocks(rows [m, p], cols [m, q]) -> [m, p, q]`` extracts entries."""
+    S@X / S^T@X; ``blocks(rows [p], cols [q]) -> [p, q]`` extracts entries (1-D index
+    vectors; batched extraction is vmapped internally)."""
 
     sample: Callable
     blocks: Callable
@@ -389,7 +390,7 @@ def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
     nl, ls, n = p.nleaves, p.ls, p.n_pad
     kO, kP = jax.random.split(key)
     # probe dtype via a tiny block
-    probe = ops.blocks(jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32))
+    probe = ops.blocks(jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
     dtype = probe.dtype
     rdt = jnp.real(probe).dtype
     Om = jax.random.normal(kO, (n, s), dtype=rdt).astype(dtype)
@@ -397,9 +398,8 @@ def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
     Y = ops.sample(Om, False)
     Z = ops.sample(Ps, True)
 
-    leaf_ids = (jnp.arange(nl * ls) % ls).reshape(nl, ls)
     leaf_rows = jnp.arange(n).reshape(nl, ls)
-    D = ops.blocks(leaf_rows, leaf_rows)                        # [nl, ls, ls]
+    D = jax.vmap(lambda rw: ops.blocks(rw, rw))(leaf_rows)      # [nl, ls, ls]
 
     Oml = Om.reshape(nl, ls, s)
     Psl = Ps.reshape(nl, ls, s)
@@ -424,8 +424,8 @@ def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
         m = nl >> lev
         Ja, Jb = Jg.reshape(m, 2, -1)[:, 0], Jg.reshape(m, 2, -1)[:, 1]
         Ka, Kb = Kg.reshape(m, 2, -1)[:, 0], Kg.reshape(m, 2, -1)[:, 1]
-        B12 = ops.blocks(Ja, Kb)                                 # [m, r, r]
-        B21 = ops.blocks(Jb, Ka)
+        B12 = jax.vmap(ops.blocks)(Ja, Kb)                       # [m, r, r]
+        B21 = jax.vmap(ops.blocks)(Jb, Ka)
         B12s.append(B12)
         B21s.append(B21)
         ya, yb = yh.reshape(m, 2, r, s)[:, 0], yh.reshape(m, 2, r, s)[:, 1]
@@ -474,6 +474,38 @@ def hss_randcompress(ops: SampleOps, plan: ClusterPlan, key, atol: float, rtol: 
                                           s_eff, atol, rtol, cap)
         if int(maxed) < min(s_eff - stepsize // 2, cap) or s_eff >= plan.n_pad \
                 or int(maxed) >= cap:
+            break
+        s = 2 * s
+    return h
+
+
+def hss_randcompress_batched(sample: Callable, blocks: Callable, operands, plan, key,
+                             atol: float, rtol: float, cap: int, kest: int = -1,
+                             stepsize: int = 16, max_tries: int = 3) -> Hss:
+    """Batched adaptive randomized construction: ``operands`` is a pytree with leading
+    batch dim B; ``sample(op_slice, X, adjoint)`` / ``blocks(op_slice, rows, cols)``
+    receive one un-batched slice.  Returns an Hss whose arrays carry a leading B axis
+    (use with vmapped hss_* ops)."""
+    from functools import partial
+
+    s = (kest if kest > 0 else max(cap // 2, 16)) + stepsize
+    B = len(jax.tree_util.tree_leaves(operands)[0])
+    h = None
+    for t in range(max_tries):
+        s_eff = min(s, plan.n_pad)
+        keys = jax.random.split(jax.random.fold_in(key, t), B)
+
+        def once(op, k):
+            ops = SampleOps(sample=partial(sample, op), blocks=partial(blocks, op))
+            return _hss_randcompress_once(ops, plan, k, s_eff, atol, rtol, cap)
+
+        h, maxed = jax.vmap(once)(operands, keys)
+        maxed = jnp.max(maxed)
+        if isinstance(maxed, jax.core.Tracer):
+            break  # under tracing (fully-jitted step): single non-adaptive pass
+        worst = int(maxed)
+        if worst < min(s_eff - stepsize // 2, cap) or s_eff >= plan.n_pad \
+                or worst >= cap:
             break
         s = 2 * s
     return h

@@ -37,6 +37,10 @@ class SolverOptions:
     # ~3-6x MXU throughput (fine for loose-tolerance preconditioners).
     matmul_precision: str = "highest"
     seed: int = 123           # PRNG seed for randomized compression (rungmres.jl:7)
+    hss: bool = True          # emit HSS Schur complements on compressed levels
+                              # (False = low-rank Gauss transforms only, dense S)
+    cross_cap: int = 32       # static rank cap for junction cross-couplings in the
+                              # structured extend-add (bnd/int contacts are O(1)-size)
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,

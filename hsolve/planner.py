@@ -63,6 +63,16 @@ class BatchPlan:
     levels: np.ndarray         # [B] reference recursion level (root = 1)
     compress: bool = False     # this batch's fronts get compressed L/R (+HSS S)
     rank_cap: int = 0          # static low-rank cap for compressed batches
+    # HSS output planning (compressed batches): this batch's Schur complements are
+    # emitted as batched HSS on ``cplan`` with per-node content sizes n1/n2
+    cplan: object = None       # ClusterPlan of the emitted S
+    n1: Optional[np.ndarray] = None   # [B] len(int_loc) per node
+    n2: Optional[np.ndarray] = None   # [B] len(bnd_loc) per node
+    # fully-structured batches (both children HSS): child-aligned layout
+    structured: bool = False
+    cross: Optional[dict] = None      # 8 dense cross blocks in child-aligned coords
+    smap: Optional[np.ndarray] = None  # [B, cplan.n_pad] S-pad -> child-aligned bnd pos
+    child_cplans: Optional[tuple] = None  # (left ClusterPlan, right ClusterPlan)
     # branch-only extend-add data (None for the leaf batch):
     sl_pad: int = 0
     sr_pad: int = 0
@@ -105,6 +115,99 @@ def _extract_dense(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray) -> np.n
     if len(rows) == 0 or len(cols) == 0:
         return np.zeros((len(rows), len(cols)), dtype=A.dtype)
     return np.asarray(A[rows][:, cols].todense())
+
+
+def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
+                           child_cplans, levels, s_loc, opts, N, bidx) -> BatchPlan:
+    """Plan a fully-structured compressed batch in *child-aligned* coordinates.
+
+    Thanks to the ``[int_loc; bnd_loc]`` storage discipline every child-to-parent index
+    map is an offset identity, so the only per-node data are the split sizes and one
+    composed gather map from the parent-S HSS coordinates to the child-aligned
+    boundary layout.  Only the cross-child couplings are extracted from A
+    (the structured counterpart of ``_assemble_blocks`` for HSS children,
+    factorization.jl:126-140)."""
+    cpl, cpr = child_cplans
+    h1, h2 = cpl.half, cpr.half
+    q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
+    np_pad = cplan.n_pad
+
+    ni1 = np.zeros(B, dtype=np.int64)
+    ni2 = np.zeros(B, dtype=np.int64)
+    nb1 = np.zeros(B, dtype=np.int64)
+    nb2 = np.zeros(B, dtype=np.int64)
+    int_ids = np.full((B, h1 + h2), N, dtype=np.int64)
+    bnd_ids = np.full((B, q1 + q2), N, dtype=np.int64)
+    smap = np.full((B, np_pad), q1 + q2, dtype=np.int64)
+    cross = {
+        "ci12": np.zeros((B, h1, h2), dtype=A_perm.dtype),
+        "ci21": np.zeros((B, h2, h1), dtype=A_perm.dtype),
+        "cib12": np.zeros((B, h1, q2), dtype=A_perm.dtype),
+        "cib21": np.zeros((B, h2, q1), dtype=A_perm.dtype),
+        "cbi12": np.zeros((B, q1, h2), dtype=A_perm.dtype),
+        "cbi21": np.zeros((B, q2, h1), dtype=A_perm.dtype),
+        "cbb12": np.zeros((B, q1, q2), dtype=A_perm.dtype),
+        "cbb21": np.zeros((B, q2, q1), dtype=A_perm.dtype),
+    }
+    groups_l: Dict[int, List[Tuple[int, int]]] = {}
+    groups_r: Dict[int, List[Tuple[int, int]]] = {}
+
+    for b, node in enumerate(nodes):
+        node = int(node)
+        l, r = int(tree.left[node]), int(tree.right[node])
+        ki1, kb1 = len(loc.int_loc[l]), len(loc.bnd_loc[l])
+        ki2, kb2 = len(loc.int_loc[r]), len(loc.bnd_loc[r])
+        ni1[b], ni2[b], nb1[b], nb2[b] = ki1, ki2, kb1, kb2
+        ints = tree.int_idx[node]
+        bnds = tree.bnd_idx[node]
+        i1, i2 = ints[:ki1], ints[ki1:]
+        b1, b2 = bnds[:kb1], bnds[kb1:]
+        int_ids[b, :ki1] = i1
+        int_ids[b, h1: h1 + ki2] = i2
+        bnd_ids[b, :kb1] = b1
+        bnd_ids[b, q1: q1 + kb2] = b2
+        for name, rows, cols in (("ci12", i1, i2), ("ci21", i2, i1),
+                                 ("cib12", i1, b2), ("cib21", i2, b1),
+                                 ("cbi12", b1, i2), ("cbi21", b2, i1),
+                                 ("cbb12", b1, b2), ("cbb21", b2, b1)):
+            blkv = _extract_dense(A_perm, rows, cols)
+            cross[name][b, : len(rows), : len(cols)] = blkv
+
+        # parent-S HSS pad coord -> child-aligned boundary position
+        perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
+        pos = np.where(perm_s < kb1, perm_s, q1 + perm_s - kb1)
+        k1, k2 = int(n1[b]), int(n2[b])
+        smap[b, :k1] = pos[:k1]
+        smap[b, cplan.half: cplan.half + k2] = pos[k1:]
+
+        sb_l, sr_l = s_loc[l]
+        groups_l.setdefault(sb_l, []).append((sr_l, b))
+        sb_r, sr_r = s_loc[r]
+        groups_r.setdefault(sb_r, []).append((sr_r, b))
+
+    def _mk(gd):
+        out = []
+        for src_batch, pairs in sorted(gd.items()):
+            out.append(ChildGroup(src_batch,
+                                  np.array([p[0] for p in pairs], dtype=np.int64),
+                                  np.array([p[1] for p in pairs], dtype=np.int64)))
+        return tuple(out)
+
+    cross["ni1"] = ni1
+    cross["ni2"] = ni2
+    cross["nb1"] = nb1
+    cross["nb2"] = nb2
+    cap = opts.rank_cap if opts.rank_cap > 0 else max((q1 + q2) // 4, 32)
+    rank_cap = min(h1 + h2, q1 + q2, _round_up(cap, opts.rank_pad))
+    lev_arr = np.zeros(B, dtype=np.int64)
+    lev_arr[:B0] = levels[nodes]
+    return BatchPlan(
+        node_ids=nodes, is_leaf=False, ni_pad=h1 + h2, nb_pad=q1 + q2, ni=ni, nb=nb,
+        A_front=np.zeros((B, 0, 0), dtype=A_perm.dtype),
+        sperm=np.zeros((B, 0), dtype=np.int64), int_ids=int_ids, bnd_ids=bnd_ids,
+        levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
+        structured=True, cross=cross, smap=smap, child_cplans=child_cplans,
+        groups_l=_mk(groups_l), groups_r=_mk(groups_r))
 
 
 def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
@@ -169,6 +272,46 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         ni_pad = _round_up(int(ni.max()), opts.pad)
         nb_pad = _round_up(int(nb.max()), opts.pad) if nb.max() > 0 else 0
         m_pad = ni_pad + nb_pad
+
+        # HSS output plan for compressed batches: the emitted S lives on a perfect
+        # cluster tree split at [int_loc | bnd_loc] (factorization.jl:109)
+        n1 = n2 = None
+        cplan = None
+        if compress and opts.hss and int(nb.max()) > 0:
+            from hsolve.ops.hss import plan_cluster
+
+            n1 = np.zeros(B, dtype=np.int64)
+            n2 = np.zeros(B, dtype=np.int64)
+            n1[:B0] = [len(loc.int_loc[i]) for i in nodes]
+            n2[:B0] = [len(loc.bnd_loc[i]) for i in nodes]
+            cplan = plan_cluster(int(n1.max()), int(n2.max()), opts.leafsize,
+                                 min_depth=2)
+
+        # fully-structured extend-add: both children carry HSS Schur complements
+        structured = False
+        child_cplans = None
+        if compress and opts.hss and not is_leaf_batch and cplan is not None:
+            lkids = [int(tree.left[i]) for i in nodes]
+            rkids = [int(tree.right[i]) for i in nodes]
+            if all(cflag[c] for c in lkids + rkids):
+                lb = {s_loc[c][0] for c in lkids}
+                rb = {s_loc[c][0] for c in rkids}
+                if len(lb) == 1 and len(rb) == 1:
+                    cpl = batches[lb.pop()].cplan
+                    cpr = batches[rb.pop()].cplan
+                    if cpl is not None and cpr is not None \
+                            and cpl.depth >= 2 and cpr.depth >= 2:
+                        structured = True
+                        child_cplans = (cpl, cpr)
+
+        if structured:
+            bp = _plan_structured_batch(
+                A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan, child_cplans,
+                levels, s_loc, opts, N, bidx)
+            batches.append(bp)
+            for b, node in enumerate(nodes):
+                s_loc[int(node)] = (bidx, b)
+            continue
 
         A_front = np.zeros((B, m_pad, m_pad), dtype=A.dtype)
         diag = np.arange(ni_pad)
@@ -262,7 +405,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             ni=ni, nb=nb, A_front=A_front, sperm=sperm, int_ids=int_ids,
             bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
             map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
-            rank_cap=rank_cap,
+            rank_cap=rank_cap, cplan=cplan if compress and rank_cap > 0 else None,
+            n1=n1, n2=n2,
             groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
 
     nb_root = len(tree.bnd_idx[tree.root])

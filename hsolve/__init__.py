@@ -16,7 +16,7 @@ from hsolve.models.dissect import nested_dissection
 from hsolve.models.matio import read_problem, write_problem
 from hsolve.planner import plan_factorization, Plan
 from hsolve.factor import factor, factor_with_plan, Factorization
-from hsolve.krylov import gmres
+from hsolve.krylov import gmres, gmres_compiled
 from hsolve.ops.sparse import to_ell, ell_matvec
 
 __all__ = [
@@ -24,7 +24,7 @@ __all__ = [
     "postorder", "permuted", "contiguous", "poisson2d", "helmholtz2d", "poisson3d",
     "helmholtz3d", "p1_fem_2d", "nested_dissection", "read_problem", "write_problem",
     "plan_factorization", "Plan", "factor", "factor_with_plan", "Factorization",
-    "gmres", "to_ell", "ell_matvec",
+    "gmres", "gmres_compiled", "to_ell", "ell_matvec",
 ]
 
 __version__ = "0.1.0"

@@ -123,7 +123,23 @@ class Factorization:
         for lev in self.levels:
             if isinstance(lev, CompressedLevel):
                 r = max(r, int(jnp.max(lev.lrank)), int(jnp.max(lev.rrank)))
+            elif type(lev).__name__ == "StructuredLevel":
+                r = max(r, lev.LU_.shape[-1])
         return r
+
+    @property
+    def solve_data(self):
+        """Pytree of everything ``solve`` needs - pass as jit operands (with
+        :func:`solve_with_data`) so re-factorizations reuse compiled programs."""
+        return (self.levels, self.root, self._dperm)
+
+
+def solve_with_data(data, b):
+    """x = F^{-1} b from a :attr:`Factorization.solve_data` pytree (stable jit key)."""
+    levels, root, dperm = data
+    bp = b[dperm] if b.ndim == 1 else b[dperm, :]
+    xp = _apply_impl(levels, root, bp)
+    return jnp.zeros_like(xp).at[dperm].set(xp)
 
 
 # ---------------------------------------------------------------------------
@@ -309,18 +325,42 @@ def _solve_jit(levels, root, dperm, b):
 # ---------------------------------------------------------------------------
 
 def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
-                     mesh=None) -> Factorization:
-    """Execute the planner's schedule on device (dense exact path).
+                     mesh=None, fuse: Optional[bool] = None) -> Factorization:
+    """Execute the planner's schedule on device.
 
     With ``mesh`` (a ('tree', 'front') jax Mesh), every level stack is sharded over the
     node axis (elimination-tree parallelism) and XLA inserts the inter-level collectives
-    - see hsolve.parallel.dist."""
+    - see hsolve.parallel.dist.
+
+    ``fuse`` stages the *entire* numeric phase as one jitted program (halves dispatch
+    and compile cost); available whenever no batch needs the host-side adaptive
+    sampling loop (structured batches), which is the default decision."""
     if dtype is None:
         dtype = jnp.asarray(plan.A_perm.data[:1]).dtype
-    levels: List[DenseLevel] = []
-    s_stacks = {}
+    if fuse is None:
+        fuse = not any(bp.structured for bp in plan.batches)
 
     with _precision_ctx(opts):
+        if fuse:
+            from hsolve.parallel.dist import shard_level_input
+
+            def put(arr):
+                return shard_level_input(mesh, arr) if mesh is not None else arr
+
+            fronts = [put(jnp.asarray(bp.A_front, dtype=dtype))
+                      for bp in plan.batches]
+            cache = getattr(plan, "_fused_cache", None)
+            if cache is None:
+                cache = {}
+                object.__setattr__(plan, "_fused_cache", cache)
+            key = (str(dtype), mesh is not None)
+            if key not in cache:
+                cache[key] = jax.jit(lambda fr: traced_numeric_phase(plan, fr))
+            levels, root = cache[key](fronts)
+            return Factorization(N=plan.N, perm=plan.perm, levels=levels, root=root,
+                                 opts=opts, plan=plan)
+        levels: List[DenseLevel] = []
+        s_stacks = {}
         return _factor_levels(plan, opts, dtype, levels, s_stacks, mesh)
 
 

@@ -13,6 +13,7 @@ device; the O(restart^2) Hessenberg bookkeeping is a host loop on tiny arrays.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, List, Optional
 
 import jax
@@ -113,6 +114,144 @@ def gmres(matvec: Callable, b: jax.Array, M: Optional[Callable] = None,
     info = {"resnorm": np.asarray(history, dtype=np.float64), "iters": iters,
             "converged": converged}
     return x, info
+
+
+_IDENTITY_M = lambda data, v: v
+
+
+def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
+                   reltol: float = 1e-9, restart: int = 30,
+                   maxiter: Optional[int] = None, M_data=None, mv_data=None):
+    """Fully-jitted restarted GMRES: the entire solve (restart cycles, Arnoldi, Givens
+    bookkeeping, convergence tests) runs as one device program - no host round-trips
+    per iteration.  Semantics match :func:`gmres` (right preconditioning, true-residual
+    restart checks); returns (x, info dict with 'iters', 'resnorm', 'converged').
+
+    The *functions* ``matvec``/``M`` are static jit keys - keep them stable across
+    calls and pass varying operator state through ``mv_data``/``M_data`` (the callables
+    then take ``(data, v)``), so re-solving with a new factorization reuses the
+    compiled program.
+    """
+    if maxiter is None:
+        maxiter = restart
+    mv_fn = matvec if mv_data is not None else (lambda _d, v: matvec(v))
+    if M is None:
+        m_fn = _IDENTITY_M
+    elif M_data is not None:
+        m_fn = M
+    else:
+        m_fn = lambda _d, v: M(v)
+    # the Givens estimate can stop an inner cycle early (it drifts when M runs in
+    # reduced precision); the outer true-residual loop then restarts - budget up to
+    # maxiter cycles (a done flag makes finished cycles free), so the total work is
+    # still capped at ~maxiter preconditioned matvecs
+    ncycles = int(maxiter)
+    x, iters, hist, res = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
+                                        jnp.asarray(b), float(reltol),
+                                        restart, int(ncycles), int(maxiter))
+    iters = int(iters)
+    hist = np.asarray(hist)
+    bnorm = float(np.asarray(jnp.linalg.norm(b)))
+    info = {"resnorm": hist[: iters + 1], "iters": iters,
+            "converged": bool(res <= max(reltol * bnorm, 0.0))}
+    return x, info
+
+
+@partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles", "maxiter"))
+def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, maxiter):
+    matvec = lambda v: mv_fn(mv_data, v)
+    M = lambda v: m_fn(M_data, v)
+    from jax import lax
+
+    n = b.shape[0]
+    dtype = b.dtype
+    rdtype = jnp.real(b).dtype
+    m = restart
+    bnorm = jnp.linalg.norm(b)
+    tol = reltol * bnorm
+
+    def inner_body(st):
+        V, H, cs, sn, g, j, res, it = st
+        w = matvec(M(V[j]))
+        mask = (jnp.arange(m + 1) <= j).astype(rdtype)
+
+        def mgs(wc, vm):
+            v, mk = vm
+            hval = jnp.vdot(v, wc) * mk
+            return wc - hval * v, hval
+
+        w, hcol = lax.scan(mgs, w, (V, mask))
+        hnorm = jnp.linalg.norm(w).astype(rdtype)
+        V = V.at[j + 1].set(w / jnp.where(hnorm > 0, hnorm, 1.0).astype(dtype))
+        hcol = hcol.at[j + 1].set(hnorm.astype(dtype))
+
+        def rot(hc, i):
+            apply = (i < j)
+            t = cs[i] * hc[i] + sn[i] * hc[i + 1]
+            lo = -jnp.conj(sn[i]) * hc[i] + cs[i] * hc[i + 1]
+            hc = hc.at[i].set(jnp.where(apply, t, hc[i]))
+            hc = hc.at[i + 1].set(jnp.where(apply, lo, hc[i + 1]))
+            return hc, None
+
+        hcol, _ = lax.scan(rot, hcol, jnp.arange(m))
+        a_, b_ = hcol[j], hcol[j + 1]
+        denom = jnp.sqrt(jnp.abs(a_) ** 2 + jnp.abs(b_) ** 2)
+        safe = denom > 0
+        absa = jnp.abs(a_)
+        cs_j = jnp.where(safe, jnp.where(absa > 0, absa / denom, 0.0), 1.0)
+        sn_j = jnp.where(
+            safe & (absa > 0),
+            (a_ * jnp.conj(b_)) / jnp.maximum(absa * denom, 1e-300),
+            jnp.where(safe, 1.0, 0.0).astype(dtype))
+        hcol = hcol.at[j].set(cs_j * a_ + sn_j * b_).at[j + 1].set(0.0)
+        H = H.at[:, j].set(hcol)
+        cs = cs.at[j].set(cs_j.astype(rdtype))
+        sn = sn.at[j].set(sn_j)
+        gj1 = -jnp.conj(sn_j) * g[j]
+        g = g.at[j + 1].set(gj1).at[j].set(cs_j * g[j])
+        res_new = jnp.abs(gj1)
+        return V, H, cs, sn, g, j + 1, res_new, it
+
+    def inner_cond(st):
+        _, _, _, _, _, j, res, it = st
+        return (j < m) & (res > tol) & (it + j < maxiter)
+
+    def cycle(carry, _):
+        x, it, hist, done = carry
+
+        def run(carry):
+            x, it, hist, _ = carry
+            r = b - matvec(x)
+            beta = jnp.linalg.norm(r)
+            V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(
+                r / jnp.where(beta > 0, beta, 1.0).astype(dtype))
+            H = jnp.zeros((m + 1, m), dtype=dtype)
+            cs = jnp.ones((m,), dtype=rdtype)
+            sn = jnp.zeros((m,), dtype=dtype)
+            g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
+            st = (V, H, cs, sn, g, 0, beta.astype(rdtype), it)
+            V, H, cs, sn, g, j, res, _ = lax.while_loop(inner_cond, inner_body, st)
+            # y = H[:m,:m]^{-1} g ; mask columns past j with identity
+            colmask = (jnp.arange(m) < j)
+            Hm = jnp.where(colmask[None, :], H[:m, :m], 0.0)
+            Hm = Hm + jnp.diag(jnp.where(colmask, 0.0, 1.0).astype(dtype))
+            gm = jnp.where(colmask, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+            upd = jnp.tensordot(y, V[:m], axes=1)
+            x = x + M(upd)
+            it = it + j
+            true_res = jnp.linalg.norm(b - matvec(x)).astype(rdtype)
+            hist = hist.at[it].set(true_res)
+            return x, it, hist, (true_res <= tol) | (it >= maxiter) | (j == 0)
+
+        x, it, hist, done = lax.cond(done, lambda c: c, run, (x, it, hist, done))
+        return (x, it, hist, done), None
+
+    hist0 = jnp.zeros((maxiter + 1,), dtype=rdtype).at[0].set(bnorm.astype(rdtype))
+    carry0 = (jnp.zeros_like(b), 0, hist0, bnorm <= tol)
+    (x, it, hist, done), _ = lax.scan(cycle, carry0, None, length=ncycles)
+    final_res = jnp.linalg.norm(b - matvec(x)).astype(rdtype)
+    return x, it, hist, final_res
 
 
 @jax.jit

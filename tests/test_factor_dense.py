@@ -3,6 +3,7 @@
 Parity model: the reference's exact mode (``factor(A, nd, nd_loc; swlevel=0)``,
 test/rungmres.jl:32) applied via ``ldiv!`` must reproduce ``A \\ b``."""
 
+import jax
 import numpy as np
 import pytest
 import scipy.sparse.linalg as spla
@@ -84,6 +85,26 @@ def test_gmres_with_exact_preconditioner():
     assert info["iters"] <= 2
     res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
     assert res < 1e-9
+
+
+def test_gmres_compiled_matches_host_gmres():
+    from hsolve import gmres_compiled
+
+    A, b, shape = poisson2d(17)
+    tree = nested_dissection(shape, leafmax=20)
+    F = factor(A, tree, swlevel=0)
+    ell = to_ell(A)
+    mv = jax.jit(lambda v: ell_matvec(ell, v))
+    x, info = gmres_compiled(mv, F.solve, np.asarray(b), reltol=1e-9, restart=30,
+                             maxiter=30)
+    assert info["converged"] and info["iters"] <= 2
+    res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert res < 1e-9
+    # unpreconditioned, multiple restart cycles
+    x2, info2 = gmres_compiled(mv, None, np.asarray(b), reltol=1e-8, restart=20,
+                               maxiter=100)
+    res2 = np.linalg.norm(A @ np.asarray(x2) - b) / np.linalg.norm(b)
+    assert res2 < 1e-6
 
 
 def test_gmres_unpreconditioned_logs_history():

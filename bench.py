@@ -122,6 +122,12 @@ def main():
             best_total, best = total, (t_setup, t_solve, info, res)
 
     t_setup, t_solve, info, res = best
+    from hsolve.utils.profiling import factor_flops, roofline_report
+
+    roofline = roofline_report(plan, measured_factor_s=max(t_setup - t_plan, 1e-9),
+                               f32=on_tpu)
+    log("roofline: " + json.dumps({k: v for k, v in roofline.items()
+                                   if k != "per_level"}))
     result = {
         "metric": f"helmholtz2d_h{args.n}_setup_plus_gmres_solve",
         "value": round(best_total, 4),
@@ -129,7 +135,12 @@ def main():
         "vs_baseline": round(t_base / best_total, 3),
         "detail": {
             "setup_s": round(t_setup, 4), "solve_s": round(t_solve, 4),
+            "plan_s": round(t_plan, 4),
             "gmres_iters": info["iters"], "relres": res,
+            "factor_gflops": roofline["factor_gflops"],
+            "achieved_gflop_s": roofline["achieved_gflop_s"],
+            "nnz_per_s": roofline["nnz_per_s"],
+            "speed_of_light_s": roofline["speed_of_light_s"],
             "baseline_proxy": "scipy_splu_1core_seconds",
             "baseline_proxy_s": round(t_base, 4),
             "device": f"{dev.platform}",

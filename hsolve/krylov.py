@@ -146,14 +146,14 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     # maxiter cycles (a done flag makes finished cycles free), so the total work is
     # still capped at ~maxiter preconditioned matvecs
     ncycles = int(maxiter)
-    x, iters, hist, res = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
-                                        jnp.asarray(b), float(reltol),
-                                        restart, int(ncycles), int(maxiter))
+    x, iters, hist, res, bnorm = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
+                                               jnp.asarray(b), float(reltol),
+                                               restart, int(ncycles), int(maxiter))
+    # one consolidated device->host fetch (dispatch round-trips dominate small solves)
+    iters, hist, res, bnorm = jax.device_get((iters, hist, res, bnorm))
     iters = int(iters)
-    hist = np.asarray(hist)
-    bnorm = float(np.asarray(jnp.linalg.norm(b)))
-    info = {"resnorm": hist[: iters + 1], "iters": iters,
-            "converged": bool(res <= max(reltol * bnorm, 0.0))}
+    info = {"resnorm": np.asarray(hist)[: iters + 1], "iters": iters,
+            "converged": bool(res <= max(reltol * float(bnorm), 0.0))}
     return x, info
 
 
@@ -251,7 +251,7 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
     carry0 = (jnp.zeros_like(b), 0, hist0, bnorm <= tol)
     (x, it, hist, done), _ = lax.scan(cycle, carry0, None, length=ncycles)
     final_res = jnp.linalg.norm(b - matvec(x)).astype(rdtype)
-    return x, it, hist, final_res
+    return x, it, hist, final_res, bnorm
 
 
 @jax.jit

@@ -1,0 +1,114 @@
+"""Native (C++) planner kernels with transparent build + ctypes bindings.
+
+Compiled on first import into the package directory; falls back to scipy fancy
+indexing if no compiler is available (the kernels are host-side planner
+accelerators - the device compute path is XLA/Pallas).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "gather.cpp")
+_LIB = os.path.join(_HERE, f"_gather_{sys.implementation.cache_tag}.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    for cc in ("c++", "g++", "cc"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        _lib = False
+        return _lib
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    c128p = np.ctypeslib.ndpointer(np.complex128, flags="C")
+    # out pointers are unvalidated (strided row views are passed with an explicit
+    # element stride; the inner axis is always unit-stride)
+    f64o = np.ctypeslib.ndpointer(np.float64)
+    c128o = np.ctypeslib.ndpointer(np.complex128)
+    lib.csr_gather_f64.argtypes = [i64p, i64p, f64p, i64p, ctypes.c_int64, i64p,
+                                   ctypes.c_int64, i64p, f64o, ctypes.c_int64]
+    lib.csr_gather_c128.argtypes = [i64p, i64p, c128p, i64p, ctypes.c_int64, i64p,
+                                    ctypes.c_int64, i64p, c128o, ctypes.c_int64]
+    lib.mask_same_child_f64.argtypes = [f64o, ctypes.c_int64, i64p]
+    lib.mask_same_child_c128.argtypes = [c128o, ctypes.c_int64, i64p]
+    _lib = lib
+    return _lib
+
+
+class CsrGather:
+    """Reusable gather context for one CSR matrix (keeps the column-map workspace)."""
+
+    def __init__(self, A):
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        self.ok = bool(_load())
+        self.A = A
+        if self.ok:
+            self.indptr = A.indptr.astype(np.int64)
+            self.indices = A.indices.astype(np.int64)
+            self.iscomplex = np.iscomplexobj(A.data)
+            self.data = np.ascontiguousarray(
+                A.data, dtype=np.complex128 if self.iscomplex else np.float64)
+            self.colmap = np.full(A.shape[1], -1, dtype=np.int64)
+            self.fn = _lib.csr_gather_c128 if self.iscomplex else _lib.csr_gather_f64
+
+    def extract(self, rows: np.ndarray, cols: np.ndarray, out=None) -> np.ndarray:
+        """Dense A[rows][:, cols] in the given order; ``out`` may be a preallocated
+        (possibly larger-strided) buffer view."""
+        nr, nc = len(rows), len(cols)
+        if not self.ok:
+            if nr == 0 or nc == 0:
+                return np.zeros((nr, nc), dtype=self.A.dtype)
+            blk = np.asarray(self.A[rows][:, cols].todense())
+            if out is None:
+                return blk
+            out[:nr, :nc] = blk
+            return out
+        if out is None:
+            out = np.zeros(
+                (nr, nc), dtype=np.complex128 if self.iscomplex else np.float64)
+            stride = nc
+            buf = out
+        else:
+            buf = out
+            stride = out.strides[0] // out.itemsize
+        if nr and nc:
+            self.fn(self.indptr, self.indices, self.data,
+                    np.ascontiguousarray(rows, dtype=np.int64), nr,
+                    np.ascontiguousarray(cols, dtype=np.int64), nc,
+                    self.colmap, buf, stride)
+        return out
+
+
+def available() -> bool:
+    return bool(_load())

@@ -110,14 +110,20 @@ class Plan:
         return int(self.A_perm.nnz)
 
 
-def _extract_dense(A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
-    """Dense gather A[rows][:, cols] in the given (not necessarily sorted) order."""
+def _extract_dense(A, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Dense gather A[rows][:, cols] in the given (not necessarily sorted) order;
+    ``A`` may be a CSR matrix or a pre-built native ``CsrGather`` (hsolve.native,
+    the C++ replacement for the reference's mygetindex.jl sparse fancy indexing)."""
+    from hsolve.native import CsrGather
+
+    if isinstance(A, CsrGather):
+        return A.extract(rows, cols)
     if len(rows) == 0 or len(cols) == 0:
         return np.zeros((len(rows), len(cols)), dtype=A.dtype)
     return np.asarray(A[rows][:, cols].todense())
 
 
-def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
+def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
                            child_cplans, levels, s_loc, opts, N, bidx) -> BatchPlan:
     """Plan a fully-structured compressed batch in *child-aligned* coordinates.
 
@@ -128,6 +134,7 @@ def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     (the structured counterpart of ``_assemble_blocks`` for HSS children,
     factorization.jl:126-140)."""
     cpl, cpr = child_cplans
+    A_dtype = gather.A.dtype
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
     np_pad = cplan.n_pad
@@ -140,14 +147,14 @@ def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     bnd_ids = np.full((B, q1 + q2), N, dtype=np.int64)
     smap = np.full((B, np_pad), q1 + q2, dtype=np.int64)
     cross = {
-        "ci12": np.zeros((B, h1, h2), dtype=A_perm.dtype),
-        "ci21": np.zeros((B, h2, h1), dtype=A_perm.dtype),
-        "cib12": np.zeros((B, h1, q2), dtype=A_perm.dtype),
-        "cib21": np.zeros((B, h2, q1), dtype=A_perm.dtype),
-        "cbi12": np.zeros((B, q1, h2), dtype=A_perm.dtype),
-        "cbi21": np.zeros((B, q2, h1), dtype=A_perm.dtype),
-        "cbb12": np.zeros((B, q1, q2), dtype=A_perm.dtype),
-        "cbb21": np.zeros((B, q2, q1), dtype=A_perm.dtype),
+        "ci12": np.zeros((B, h1, h2), dtype=A_dtype),
+        "ci21": np.zeros((B, h2, h1), dtype=A_dtype),
+        "cib12": np.zeros((B, h1, q2), dtype=A_dtype),
+        "cib21": np.zeros((B, h2, q1), dtype=A_dtype),
+        "cbi12": np.zeros((B, q1, h2), dtype=A_dtype),
+        "cbi21": np.zeros((B, q2, h1), dtype=A_dtype),
+        "cbb12": np.zeros((B, q1, q2), dtype=A_dtype),
+        "cbb21": np.zeros((B, q2, q1), dtype=A_dtype),
     }
     groups_l: Dict[int, List[Tuple[int, int]]] = {}
     groups_r: Dict[int, List[Tuple[int, int]]] = {}
@@ -170,7 +177,7 @@ def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
                                  ("cib12", i1, b2), ("cib21", i2, b1),
                                  ("cbi12", b1, i2), ("cbi21", b2, i1),
                                  ("cbb12", b1, b2), ("cbb21", b2, b1)):
-            blkv = _extract_dense(A_perm, rows, cols)
+            blkv = _extract_dense(gather, rows, cols)
             cross[name][b, : len(rows), : len(cols)] = blkv
 
         # parent-S HSS pad coord -> child-aligned boundary position
@@ -203,7 +210,7 @@ def _plan_structured_batch(A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     lev_arr[:B0] = levels[nodes]
     return BatchPlan(
         node_ids=nodes, is_leaf=False, ni_pad=h1 + h2, nb_pad=q1 + q2, ni=ni, nb=nb,
-        A_front=np.zeros((B, 0, 0), dtype=A_perm.dtype),
+        A_front=np.zeros((B, 0, 0), dtype=A_dtype),
         sperm=np.zeros((B, 0), dtype=np.int64), int_ids=int_ids, bnd_ids=bnd_ids,
         levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
         structured=True, cross=cross, smap=smap, child_cplans=child_cplans,
@@ -231,6 +238,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     relabel = np.empty(N, dtype=np.int64)
     relabel[perm] = np.arange(N)
     A_perm = A[perm][:, perm].tocsr()
+    from hsolve.native import CsrGather
+    gather = CsrGather(A_perm)
     tree = permuted(tree, relabel)
     depth = tree.depth()
     levels = tree.levels()
@@ -306,7 +315,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
 
         if structured:
             bp = _plan_structured_batch(
-                A_perm, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan, child_cplans,
+                gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan, child_cplans,
                 levels, s_loc, opts, N, bidx)
             batches.append(bp)
             for b, node in enumerate(nodes):
@@ -352,7 +361,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             ord_pos = np.concatenate([
                 np.arange(k_i), ni_pad + np.arange(k_b)])
             ord_glob = np.concatenate([ints, bnds])
-            Asub = _extract_dense(A_perm, ord_glob, ord_glob)
+            Asub = _extract_dense(gather, ord_glob, ord_glob)
             if not is_leaf_batch:
                 # same-child entries come from the child Schur complements; only the
                 # cross-child couplings are taken from A (factorization.jl:115-123)

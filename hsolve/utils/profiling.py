@@ -1,0 +1,136 @@
+"""Observability: FLOP accounting, per-level stats, roofline (speed-of-light) analysis.
+
+The reference has no profiling beyond ad-hoc ``@timed`` calls (SURVEY.md section 5.1);
+this module provides the per-kernel accounting the BASELINE.json north star asks for:
+factorization GFLOP/s and nnz/s with per-level speed-of-light bounds.
+
+Peak numbers target TPU v5e (one core): 197 TFLOP/s bf16 MXU, ~1/6 of that for
+f32 matmuls at ``highest`` precision (6-pass), 819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+
+TPU_V5E_PEAKS = {
+    "bf16_flops": 197e12,
+    "f32_flops": 197e12 / 6.0,     # 6-pass emulation at matmul precision 'highest'
+    "hbm_gbps": 819e9,
+}
+
+
+@dataclasses.dataclass
+class LevelStats:
+    kind: str
+    B: int
+    ni_pad: int
+    nb_pad: int
+    flops: float          # factor-time floating point ops
+    bytes_moved: float    # rough HBM traffic of the factor kernels
+    solve_flops: float    # per right-hand side application
+
+
+def _dense_level_flops(B, ni, nb):
+    lu = 2.0 / 3.0 * ni ** 3
+    trsm = 2.0 * ni * ni * nb * 2          # L and R solves
+    schur = 2.0 * nb * nb * ni
+    return B * (lu + trsm + schur)
+
+
+def _compressed_level_flops(B, ni, nb, k):
+    lu = 2.0 / 3.0 * ni ** 3
+    sample = 2.0 * nb * ni * (k + 8) * 2    # randomized range finding both sides
+    fold = 2.0 * ni * ni * k * 2            # D-solves on k columns
+    schur = 2.0 * nb * ni * k + 2.0 * nb * nb * k
+    return B * (lu + sample + fold + schur)
+
+
+def analyze_plan(plan, dtype_bytes: int = 4) -> List[LevelStats]:
+    """Static per-batch accounting from the planner's schedule."""
+    out = []
+    for bp in plan.batches:
+        ni, nb, B = bp.ni_pad, bp.nb_pad, bp.B
+        if bp.structured:
+            # dominated by HSS solves/sampling: O(n r^2) style terms
+            r = bp.rank_cap
+            n = ni + nb
+            flops = B * (8.0 * n * r * r + 4.0 * n * n * 0)  # leading-order
+            solve = B * (8.0 * n * r)
+            kind = "structured"
+        elif bp.compress:
+            flops = _compressed_level_flops(B, ni, nb, bp.rank_cap)
+            solve = B * (2.0 * ni * ni + 4.0 * (ni + nb) * bp.rank_cap)
+            kind = "compressed"
+        else:
+            flops = _dense_level_flops(B, ni, nb)
+            solve = B * (2.0 * ni * ni + 4.0 * ni * nb)
+            kind = "leaf" if bp.is_leaf else "dense"
+        m = ni + nb
+        bytes_moved = B * (3.0 * m * m) * dtype_bytes
+        out.append(LevelStats(kind=kind, B=B, ni_pad=ni, nb_pad=nb, flops=flops,
+                              bytes_moved=bytes_moved, solve_flops=solve))
+    return out
+
+
+def factor_flops(plan, dtype_bytes: int = 4) -> float:
+    return float(sum(s.flops for s in analyze_plan(plan, dtype_bytes)))
+
+
+def solve_flops(plan, dtype_bytes: int = 4) -> float:
+    return float(sum(s.solve_flops for s in analyze_plan(plan, dtype_bytes)))
+
+
+def roofline_report(plan, measured_factor_s: float, device: str = "tpu",
+                    dtype_bytes: int = 4, f32: bool = True) -> dict:
+    """Speed-of-light accounting: achieved GFLOP/s + nnz/s vs the per-level roofline
+    bound (max of compute-limit and bandwidth-limit times, summed over levels)."""
+    stats = analyze_plan(plan, dtype_bytes)
+    total_flops = sum(s.flops for s in stats)
+    peak = TPU_V5E_PEAKS["f32_flops" if f32 else "bf16_flops"]
+    bw = TPU_V5E_PEAKS["hbm_gbps"]
+    sol_time = sum(max(s.flops / peak, s.bytes_moved / bw) for s in stats)
+    per_level = [{
+        "kind": s.kind, "B": s.B, "front": [s.ni_pad, s.nb_pad],
+        "gflops": round(s.flops / 1e9, 3),
+        "sol_ms": round(max(s.flops / peak, s.bytes_moved / bw) * 1e3, 3),
+    } for s in stats]
+    return {
+        "factor_gflops": round(total_flops / 1e9, 3),
+        "achieved_gflop_s": round(total_flops / max(measured_factor_s, 1e-12) / 1e9, 2),
+        "speed_of_light_s": round(sol_time, 6),
+        "sol_fraction": round(sol_time / max(measured_factor_s, 1e-12), 4),
+        "nnz_per_s": round(plan.nnz / max(measured_factor_s, 1e-12), 1),
+        "per_level": per_level,
+    }
+
+
+class Timer:
+    """Minimal wall-clock scope timer collecting named spans (verbose-mode analog of
+    the reference's opts.verbose prints, factorization.jl:17,22)."""
+
+    def __init__(self):
+        self.spans = {}
+
+    def span(self, name):
+        timer = self
+
+        class _Ctx:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timer.spans[name] = timer.spans.get(name, 0.0) + \
+                    (time.perf_counter() - self.t0)
+
+        return _Ctx()
+
+
+def trace(logdir: str):
+    """jax.profiler trace context for TPU timeline capture."""
+    import jax
+
+    return jax.profiler.trace(logdir)

@@ -48,6 +48,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--swlevel", type=int, default=0)
     ap.add_argument("--reltol", type=float, default=1e-9)
+    ap.add_argument("--maxiter", type=int, default=60)
     ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
     args = ap.parse_args()
 
@@ -100,8 +101,9 @@ def main():
 
         t0 = time.perf_counter()
         x, info = hsolve.gmres_compiled(
-            _mv, _precond, bj, reltol=args.reltol, restart=30, maxiter=30,
-            mv_data=ell, M_data=F.solve_data)
+            _mv, _precond, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
+            mv_data=ell, M_data=F.solve_data,
+            m_eps=1e-6 if on_tpu else 0.0)  # f32 preconditioner trust floor
         jax.block_until_ready(x)
         t_solve = time.perf_counter() - t0
         return t_setup, t_solve, x, info

@@ -202,12 +202,20 @@ _factor_front_compressed = partial(
         _factor_front_compressed_impl)
 
 
-def _extend_add_impl(front: jax.Array, stage: jax.Array, fmap: jax.Array) -> jax.Array:
-    """front[b, fmap[b,i], fmap[b,j]] += stage[b, i, j], dropping sentinel positions."""
-    B = front.shape[0]
-    bidx = jnp.arange(B)[:, None, None]
-    return front.at[bidx, fmap[:, :, None], fmap[:, None, :]].add(
-        stage, mode="drop")
+def _extend_add_impl(front: jax.Array, stage: jax.Array, imap: jax.Array) -> jax.Array:
+    """Gather-based extend-add: ``front[b,i,j] += stage[b, imap[b,i], imap[b,j]]``
+    where imap < 0 marks front positions with no contribution from this child.
+
+    Formulated as a gather (not a scatter-add) because XLA:TPU serializes scatters;
+    the child-index map is the inverse of the offset-identity placement the
+    ``[int_loc; bnd_loc]`` storage discipline guarantees (factorization.jl:115-123)."""
+    valid = imap >= 0
+    idx = jnp.maximum(imap, 0)
+    gathered = jnp.take_along_axis(
+        jnp.take_along_axis(stage, idx[:, :, None], axis=1),
+        idx[:, None, :], axis=2)
+    mask = (valid[:, :, None] & valid[:, None, :]).astype(front.dtype)
+    return front + gathered * mask
 
 
 _extend_add = jax.jit(_extend_add_impl)
@@ -228,7 +236,15 @@ def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
             stage = stage.at[g.dst_rows].set(dense)
             continue
         m = min(s_pad, src.shape[-1])
-        stage = stage.at[g.dst_rows, :m, :m].set(src[g.src_rows, :m, :m])
+        # gather-select instead of row scatter (XLA:TPU serializes scatters)
+        src_for_dst = np.zeros(B, dtype=np.int64)
+        src_for_dst[g.dst_rows] = g.src_rows
+        mask = np.zeros(B, dtype=bool)
+        mask[g.dst_rows] = True
+        gathered = src[jnp.asarray(src_for_dst)][:, :m, :m]
+        if m < s_pad:
+            gathered = jnp.pad(gathered, ((0, 0), (0, s_pad - m), (0, s_pad - m)))
+        stage = jnp.where(jnp.asarray(mask)[:, None, None], gathered, stage)
     return stage
 
 

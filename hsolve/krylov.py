@@ -121,7 +121,8 @@ _IDENTITY_M = lambda data, v: v
 
 def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
                    reltol: float = 1e-9, restart: int = 30,
-                   maxiter: Optional[int] = None, M_data=None, mv_data=None):
+                   maxiter: Optional[int] = None, M_data=None, mv_data=None,
+                   m_eps: float = 0.0):
     """Fully-jitted restarted GMRES: the entire solve (restart cycles, Arnoldi, Givens
     bookkeeping, convergence tests) runs as one device program - no host round-trips
     per iteration.  Semantics match :func:`gmres` (right preconditioning, true-residual
@@ -148,7 +149,8 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     ncycles = int(maxiter)
     x, iters, hist, res, bnorm = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
                                                jnp.asarray(b), float(reltol),
-                                               restart, int(ncycles), int(maxiter))
+                                               restart, int(ncycles), int(maxiter),
+                                               float(m_eps))
     # one consolidated device->host fetch (dispatch round-trips dominate small solves)
     iters, hist, res, bnorm = jax.device_get((iters, hist, res, bnorm))
     iters = int(iters)
@@ -158,7 +160,13 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles", "maxiter"))
-def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, maxiter):
+def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, maxiter,
+                  m_eps=0.0):
+    # m_eps: trust floor for the in-cycle Givens residual estimate, relative to the
+    # cycle's starting residual.  With a reduced-precision preconditioner the estimate
+    # keeps dropping below what the computed basis can actually deliver; restarting at
+    # the floor turns the outer loop into iterative refinement instead of burning the
+    # iteration budget inside one fictitious cycle.
     matvec = lambda v: mv_fn(mv_data, v)
     M = lambda v: m_fn(M_data, v)
     from jax import lax
@@ -212,9 +220,11 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
         res_new = jnp.abs(gj1)
         return V, H, cs, sn, g, j + 1, res_new, it
 
-    def inner_cond(st):
-        _, _, _, _, _, j, res, it = st
-        return (j < m) & (res > tol) & (it + j < maxiter)
+    def make_inner_cond(floor):
+        def inner_cond(st):
+            _, _, _, _, _, j, res, it = st
+            return (j < m) & (res > floor) & (it + j < maxiter)
+        return inner_cond
 
     def cycle(carry, _):
         x, it, hist, done = carry
@@ -230,7 +240,9 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
             sn = jnp.zeros((m,), dtype=dtype)
             g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
             st = (V, H, cs, sn, g, 0, beta.astype(rdtype), it)
-            V, H, cs, sn, g, j, res, _ = lax.while_loop(inner_cond, inner_body, st)
+            floor = jnp.maximum(tol, m_eps * beta.astype(rdtype))
+            V, H, cs, sn, g, j, res, _ = lax.while_loop(
+                make_inner_cond(floor), inner_body, st)
             # y = H[:m,:m]^{-1} g ; mask columns past j with identity
             colmask = (jnp.arange(m) < j)
             Hm = jnp.where(colmask[None, :], H[:m, :m], 0.0)

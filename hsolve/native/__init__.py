@@ -60,6 +60,12 @@ def _load():
                                     ctypes.c_int64, i64p, c128o, ctypes.c_int64]
     lib.mask_same_child_f64.argtypes = [f64o, ctypes.c_int64, i64p]
     lib.mask_same_child_c128.argtypes = [c128o, ctypes.c_int64, i64p]
+    lib.csr_gather_many_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p,
+                                        ctypes.c_int64, i64p, f64o, i64p,
+                                        ctypes.c_int64]
+    lib.csr_gather_many_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p, i64p,
+                                         ctypes.c_int64, i64p, c128o, i64p,
+                                         ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -108,6 +114,46 @@ class CsrGather:
                     np.ascontiguousarray(cols, dtype=np.int64), nc,
                     self.colmap, buf, stride)
         return out
+
+
+class BlockGatherBuilder:
+    """Accumulate (rows, cols, out-offset) block specs and execute them in one native
+    call per destination buffer (per-call ctypes overhead dominates small blocks)."""
+
+    def __init__(self, gather: "CsrGather"):
+        self.g = gather
+        self.rows = []
+        self.cols = []
+        self.offs = []
+
+    def add(self, rows: np.ndarray, cols: np.ndarray, elem_off: int) -> None:
+        if len(rows) and len(cols):
+            self.rows.append(np.ascontiguousarray(rows, dtype=np.int64))
+            self.cols.append(np.ascontiguousarray(cols, dtype=np.int64))
+            self.offs.append(elem_off)
+
+    def run(self, out: np.ndarray, out_stride: int) -> None:
+        """out: the destination array (base pointer); offsets are element offsets."""
+        if not self.rows:
+            return
+        g = self.g
+        if not g.ok:
+            flat = out.reshape(-1)
+            for rs, cs, off in zip(self.rows, self.cols, self.offs):
+                blk = np.asarray(g.A[rs][:, cs].todense())
+                for i in range(len(rs)):
+                    flat[off + i * out_stride: off + i * out_stride + len(cs)] = blk[i]
+            return
+        row_ptr = np.zeros(len(self.rows) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in self.rows], out=row_ptr[1:])
+        col_ptr = np.zeros(len(self.cols) + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in self.cols], out=col_ptr[1:])
+        rows_cat = np.concatenate(self.rows)
+        cols_cat = np.concatenate(self.cols)
+        offs = np.asarray(self.offs, dtype=np.int64)
+        fn = _lib.csr_gather_many_c128 if g.iscomplex else _lib.csr_gather_many_f64
+        fn(g.indptr, g.indices, g.data, rows_cat, row_ptr, cols_cat, col_ptr,
+           len(offs), g.colmap, out, offs, out_stride)
 
 
 def available() -> bool:

@@ -50,6 +50,56 @@ void csr_gather_c128(const int64_t *indptr, const int64_t *indices,
   for (int64_t j = 0; j < ncols; ++j) colmap[cols[j]] = -1;
 }
 
+// Batched variant: K blocks in one call (ctypes binding overhead dominates per-block
+// calls from the planner's node loop).  Block k gathers rows
+// rows[row_ptr[k]:row_ptr[k+1]] x cols[col_ptr[k]:col_ptr[k+1]] and scatters into
+// out_base + out_off[k] with row stride out_stride (elements).
+void csr_gather_many_f64(const int64_t *indptr, const int64_t *indices,
+                         const double *data, const int64_t *rows,
+                         const int64_t *row_ptr, const int64_t *cols,
+                         const int64_t *col_ptr, int64_t nblocks, int64_t *colmap,
+                         double *out_base, const int64_t *out_off,
+                         int64_t out_stride) {
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t c0 = col_ptr[k], c1 = col_ptr[k + 1];
+    const int64_t r0 = row_ptr[k], r1 = row_ptr[k + 1];
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = j - c0;
+    double *out = out_base + out_off[k];
+    for (int64_t i = r0; i < r1; ++i) {
+      const int64_t r = rows[i];
+      double *orow = out + (i - r0) * out_stride;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) orow[kk] = data[p];
+      }
+    }
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = -1;
+  }
+}
+
+void csr_gather_many_c128(const int64_t *indptr, const int64_t *indices,
+                          const std::complex<double> *data, const int64_t *rows,
+                          const int64_t *row_ptr, const int64_t *cols,
+                          const int64_t *col_ptr, int64_t nblocks, int64_t *colmap,
+                          std::complex<double> *out_base, const int64_t *out_off,
+                          int64_t out_stride) {
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t c0 = col_ptr[k], c1 = col_ptr[k + 1];
+    const int64_t r0 = row_ptr[k], r1 = row_ptr[k + 1];
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = j - c0;
+    std::complex<double> *out = out_base + out_off[k];
+    for (int64_t i = r0; i < r1; ++i) {
+      const int64_t r = rows[i];
+      std::complex<double> *orow = out + (i - r0) * out_stride;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) orow[kk] = data[p];
+      }
+    }
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = -1;
+  }
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

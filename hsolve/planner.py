@@ -76,8 +76,8 @@ class BatchPlan:
     # branch-only extend-add data (None for the leaf batch):
     sl_pad: int = 0
     sr_pad: int = 0
-    map_l: Optional[np.ndarray] = None   # [B, sl_pad] front positions, sentinel m_pad
-    map_r: Optional[np.ndarray] = None   # [B, sr_pad]
+    map_l: Optional[np.ndarray] = None   # [B, m_pad] front pos -> child-S index, -1 none
+    map_r: Optional[np.ndarray] = None   # [B, m_pad]
     groups_l: Tuple[ChildGroup, ...] = ()
     groups_r: Tuple[ChildGroup, ...] = ()
 
@@ -339,14 +339,18 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             sr = ni2 + nb2
             sl_pad = max(_round_up(int(sl.max()), opts.pad), 1)
             sr_pad = max(_round_up(int(sr.max()), opts.pad), 1)
-            map_l = np.full((B, sl_pad), m_pad, dtype=np.int64)
-            map_r = np.full((B, sr_pad), m_pad, dtype=np.int64)
+            # inverse extend-add maps: front position -> child-S index (or -1), so
+            # the device assembly is a gather, not an XLA scatter
+            map_l = np.full((B, m_pad), -1, dtype=np.int64)
+            map_r = np.full((B, m_pad), -1, dtype=np.int64)
         else:
             sl_pad = sr_pad = 0
             map_l = map_r = None
 
         groups_l: Dict[int, List[Tuple[int, int]]] = {}
         groups_r: Dict[int, List[Tuple[int, int]]] = {}
+        from hsolve.native import BlockGatherBuilder
+        builder = BlockGatherBuilder(gather)
 
         for b, node in enumerate(nodes):
             node = int(node)
@@ -358,42 +362,52 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             if k_b:
                 sperm[b, :k_b] = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
 
-            ord_pos = np.concatenate([
-                np.arange(k_i), ni_pad + np.arange(k_b)])
-            ord_glob = np.concatenate([ints, bnds])
-            Asub = _extract_dense(gather, ord_glob, ord_glob)
-            if not is_leaf_batch:
+            base = b * m_pad * m_pad  # element offset of this node's front
+
+            def _blk(r0, c0, rs, cs):
+                builder.add(rs, cs, base + r0 * m_pad + c0)
+
+            if is_leaf_batch:
+                # whole front comes from A: four quadrants gathered straight into the
+                # padded buffer (one native call per batch, see builder.run below)
+                _blk(0, 0, ints, ints)
+                _blk(0, ni_pad, ints, bnds)
+                _blk(ni_pad, 0, bnds, ints)
+                _blk(ni_pad, ni_pad, bnds, bnds)
+            else:
                 # same-child entries come from the child Schur complements; only the
                 # cross-child couplings are taken from A (factorization.jl:115-123)
+                i1, i2 = ints[: ni1[b]], ints[ni1[b]:]
+                b1, b2 = bnds[: nb1[b]], bnds[nb1[b]:]
+                offs = {"i1": 0, "i2": int(ni1[b]),
+                        "b1": ni_pad, "b2": ni_pad + int(nb1[b])}
+                segs = {"i1": i1, "i2": i2, "b1": b1, "b2": b2}
+                for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
+                               ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
+                               ("b1", "b2"), ("b2", "b1")):
+                    _blk(offs[rn], offs[cn], segs[rn], segs[cn])
+
+                # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted,
+                # so placements are two contiguous runs)
+                map_l[b, : ni1[b]] = np.arange(ni1[b])
+                map_l[b, ni_pad: ni_pad + nb1[b]] = ni1[b] + np.arange(nb1[b])
+                map_r[b, ni1[b]: ni1[b] + ni2[b]] = np.arange(ni2[b])
+                map_r[b, ni_pad + nb1[b]: ni_pad + nb1[b] + nb2[b]] = \
+                    ni2[b] + np.arange(nb2[b])
+
                 l, r = int(tree.left[node]), int(tree.right[node])
-                child = np.concatenate([
-                    np.zeros(ni1[b]), np.ones(ni2[b]),
-                    np.zeros(nb1[b]), np.ones(nb2[b])]).astype(np.int64)
-                Asub[child[:, None] == child[None, :]] = 0.0
-
-                # extend-add scatter maps: child S is stored [int_loc; bnd_loc]-permuted
-                kl = int(sl[b])
-                ml = np.empty(kl, dtype=np.int64)
-                ml[: ni1[b]] = np.arange(ni1[b])
-                ml[ni1[b]:] = ni_pad + np.arange(nb1[b])
-                map_l[b, :kl] = ml
-                kr = int(sr[b])
-                mr = np.empty(kr, dtype=np.int64)
-                mr[: ni2[b]] = ni1[b] + np.arange(ni2[b])
-                mr[ni2[b]:] = ni_pad + nb1[b] + np.arange(nb2[b])
-                map_r[b, :kr] = mr
-
                 sb_l, sr_l = s_loc[l]
                 groups_l.setdefault(sb_l, []).append((sr_l, b))
                 sb_r, sr_r = s_loc[r]
                 groups_r.setdefault(sb_r, []).append((sr_r, b))
 
-            A_front[b][np.ix_(ord_pos, ord_pos)] = Asub
             # identity on the padded part of the pivot block keeps the batched LU
             # well-defined (the padded rows/cols stay decoupled)
             pad_diag = np.arange(k_i, ni_pad)
             A_front[b, pad_diag, pad_diag] = 1.0
             s_loc[node] = (bidx, b)
+
+        builder.run(A_front, m_pad)
 
         def _mk_groups(gd: Dict[int, List[Tuple[int, int]]]) -> Tuple[ChildGroup, ...]:
             out = []

@@ -42,6 +42,8 @@ def _precond(data, v):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="helmholtz2d",
+                    choices=["helmholtz2d", "poisson2d", "helmholtz3d", "poisson3d"])
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--k", type=float, default=40.0)
     ap.add_argument("--leafmax", type=int, default=100)
@@ -65,9 +67,13 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
-    A, b, shape = hsolve.helmholtz2d(args.n, k=args.k)
+    gen = {"helmholtz2d": lambda: hsolve.helmholtz2d(args.n, k=args.k),
+           "poisson2d": lambda: hsolve.poisson2d(args.n),
+           "helmholtz3d": lambda: hsolve.helmholtz3d(args.n, k=args.k),
+           "poisson3d": lambda: hsolve.poisson3d(args.n)}[args.problem]
+    A, b, shape = gen()
     b = np.asarray(b)
-    log(f"helmholtz2d n={args.n}: N={A.shape[0]}, nnz={A.nnz}")
+    log(f"{args.problem} n={args.n}: N={A.shape[0]}, nnz={A.nnz}")
 
     # --- baseline proxy: single-core scipy SuperLU direct solve ---
     import scipy.sparse.linalg as spla
@@ -131,7 +137,7 @@ def main():
     log("roofline: " + json.dumps({k: v for k, v in roofline.items()
                                    if k != "per_level"}))
     result = {
-        "metric": f"helmholtz2d_h{args.n}_setup_plus_gmres_solve",
+        "metric": f"{args.problem}_h{args.n}_setup_plus_gmres_solve",
         "value": round(best_total, 4),
         "unit": "seconds",
         "vs_baseline": round(t_base / best_total, 3),

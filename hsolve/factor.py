@@ -221,6 +221,21 @@ def _extend_add_impl(front: jax.Array, stage: jax.Array, imap: jax.Array) -> jax
 _extend_add = jax.jit(_extend_add_impl)
 
 
+def build_front(bp: BatchPlan, dtype) -> jax.Array:
+    """Materialize a batch's front buffers on device from the planner's COO data.
+
+    Only the nonzeros (plus identity padding) cross the host->device link - the
+    dense [B, m_pad, m_pad] workspace never leaves the device (host->device
+    bandwidth is the setup bottleneck at scale)."""
+    B, m = bp.B, bp.m_pad
+    flat = jnp.zeros((B * m * m,), dtype=dtype)
+    if len(bp.front_pos):
+        flat = flat.at[jnp.asarray(bp.front_pos)].set(
+            jnp.asarray(bp.front_vals, dtype=dtype),
+            indices_are_sorted=True, unique_indices=True, mode="promise_in_bounds")
+    return flat.reshape(B, m, m)
+
+
 def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
     """Gather the children Schur complements (possibly from several earlier levels)
     into one [B, s_pad, s_pad] staging buffer.  HSS children are densified (fallback
@@ -363,8 +378,7 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
             def put(arr):
                 return shard_level_input(mesh, arr) if mesh is not None else arr
 
-            fronts = [put(jnp.asarray(bp.A_front, dtype=dtype))
-                      for bp in plan.batches]
+            fronts = [put(build_front(bp, dtype)) for bp in plan.batches]
             cache = getattr(plan, "_fused_cache", None)
             if cache is None:
                 cache = {}
@@ -415,7 +429,7 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
             s_stacks[bidx] = S
             levels.append(lev)
             continue
-        front = put(jnp.asarray(bp.A_front, dtype=dtype))
+        front = put(build_front(bp, dtype))
         if not bp.is_leaf:
             if bp.groups_l:
                 stage_l = _stage_children(bp.groups_l, s_stacks, bp.B, bp.sl_pad, dtype)

@@ -66,6 +66,14 @@ def _load():
     lib.csr_gather_many_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p, i64p,
                                          ctypes.c_int64, i64p, c128o, i64p,
                                          ctypes.c_int64]
+    lib.csr_gather_coo_many_f64.restype = ctypes.c_int64
+    lib.csr_gather_coo_many_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p,
+                                            ctypes.c_int64, i64p, i64p, i64p, i64p,
+                                            f64o]
+    lib.csr_gather_coo_many_c128.restype = ctypes.c_int64
+    lib.csr_gather_coo_many_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p,
+                                             i64p, ctypes.c_int64, i64p, i64p, i64p,
+                                             i64p, c128o]
     _lib = lib
     return _lib
 
@@ -125,12 +133,49 @@ class BlockGatherBuilder:
         self.rows = []
         self.cols = []
         self.offs = []
+        self.strides = []
 
-    def add(self, rows: np.ndarray, cols: np.ndarray, elem_off: int) -> None:
+    def add(self, rows: np.ndarray, cols: np.ndarray, elem_off: int,
+            stride: int = 0) -> None:
         if len(rows) and len(cols):
             self.rows.append(np.ascontiguousarray(rows, dtype=np.int64))
             self.cols.append(np.ascontiguousarray(cols, dtype=np.int64))
             self.offs.append(elem_off)
+            self.strides.append(stride)
+
+    def run_coo(self, default_stride: int):
+        """Emit (flat positions, values) for all accumulated blocks in one native
+        call; returns (pos [nnz] int64, vals [nnz]).  Per-block stride defaults to
+        ``default_stride`` (blocks that set their own stride in ``add`` keep it)."""
+        g = self.g
+        dt = np.complex128 if g.iscomplex else np.float64
+        if not self.rows:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
+        strides = np.asarray([s if s else default_stride for s in self.strides],
+                             dtype=np.int64)
+        offs = np.asarray(self.offs, dtype=np.int64)
+        if not g.ok:
+            poss, vals = [], []
+            for rs, cs, off, st in zip(self.rows, self.cols, offs, strides):
+                blk = g.A[rs][:, cs].tocoo()
+                poss.append(off + blk.row.astype(np.int64) * st + blk.col)
+                vals.append(blk.data.astype(dt))
+            return np.concatenate(poss), np.concatenate(vals)
+        row_ptr = np.zeros(len(self.rows) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in self.rows], out=row_ptr[1:])
+        col_ptr = np.zeros(len(self.cols) + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in self.cols], out=col_ptr[1:])
+        rows_cat = np.concatenate(self.rows)
+        cols_cat = np.concatenate(self.cols)
+        # upper bound on emitted pairs: total nnz of the gathered rows
+        bound = int(np.sum(self.g.indptr[rows_cat + 1] - self.g.indptr[rows_cat]))
+        pos = np.empty(max(bound, 1), dtype=np.int64)
+        val = np.empty(max(bound, 1), dtype=dt)
+        fn = _lib.csr_gather_coo_many_c128 if g.iscomplex else \
+            _lib.csr_gather_coo_many_f64
+        n = fn(g.indptr, g.indices, g.data, rows_cat, row_ptr, cols_cat, col_ptr,
+               len(offs), g.colmap, offs, strides, pos, val)
+        return pos[:n].copy(), val[:n].copy()
 
     def run(self, out: np.ndarray, out_stride: int) -> None:
         """out: the destination array (base pointer); offsets are element offsets."""

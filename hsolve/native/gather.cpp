@@ -100,6 +100,67 @@ void csr_gather_many_c128(const int64_t *indptr, const int64_t *indices,
   }
 }
 
+// COO variant: instead of writing dense blocks, emit (flat position, value) pairs.
+// Block k scatters A[rows_k, cols_k] entries to out positions
+// out_off[k] + (i - r0) * out_stride[k] + colmap[col].  Returns the pair count.
+int64_t csr_gather_coo_many_f64(const int64_t *indptr, const int64_t *indices,
+                                const double *data, const int64_t *rows,
+                                const int64_t *row_ptr, const int64_t *cols,
+                                const int64_t *col_ptr, int64_t nblocks,
+                                int64_t *colmap, const int64_t *out_off,
+                                const int64_t *out_stride, int64_t *pos_out,
+                                double *val_out) {
+  int64_t c = 0;
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t c0 = col_ptr[k], c1 = col_ptr[k + 1];
+    const int64_t r0 = row_ptr[k], r1 = row_ptr[k + 1];
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = j - c0;
+    for (int64_t i = r0; i < r1; ++i) {
+      const int64_t r = rows[i];
+      const int64_t base = out_off[k] + (i - r0) * out_stride[k];
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) {
+          pos_out[c] = base + kk;
+          val_out[c] = data[p];
+          ++c;
+        }
+      }
+    }
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = -1;
+  }
+  return c;
+}
+
+int64_t csr_gather_coo_many_c128(const int64_t *indptr, const int64_t *indices,
+                                 const std::complex<double> *data,
+                                 const int64_t *rows, const int64_t *row_ptr,
+                                 const int64_t *cols, const int64_t *col_ptr,
+                                 int64_t nblocks, int64_t *colmap,
+                                 const int64_t *out_off, const int64_t *out_stride,
+                                 int64_t *pos_out, std::complex<double> *val_out) {
+  int64_t c = 0;
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t c0 = col_ptr[k], c1 = col_ptr[k + 1];
+    const int64_t r0 = row_ptr[k], r1 = row_ptr[k + 1];
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = j - c0;
+    for (int64_t i = r0; i < r1; ++i) {
+      const int64_t r = rows[i];
+      const int64_t base = out_off[k] + (i - r0) * out_stride[k];
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) {
+          pos_out[c] = base + kk;
+          val_out[c] = data[p];
+          ++c;
+        }
+      }
+    }
+    for (int64_t j = c0; j < c1; ++j) colmap[cols[j]] = -1;
+  }
+  return c;
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

@@ -488,26 +488,21 @@ def hss_randcompress_batched(sample: Callable, blocks: Callable, operands, plan,
     (use with vmapped hss_* ops)."""
     from functools import partial
 
-    s = (kest if kest > 0 else max(cap // 2, 16)) + stepsize
+    # sample once with s >= cap + slack: interpolation ranks are capped at ``cap``
+    # anyway, so growing s past that cannot reveal more - the reference's
+    # kest/stepsize adaptivity folds into the planner's static cap choice (each
+    # extra sample-width here is one more whole-program compile, which dominates)
+    slack = max(stepsize, 8)
+    s = max(kest + slack if kest > 0 else 0, cap + slack)
+    s_eff = min(s, plan.n_pad)
     B = len(jax.tree_util.tree_leaves(operands)[0])
-    h = None
-    for t in range(max_tries):
-        s_eff = min(s, plan.n_pad)
-        keys = jax.random.split(jax.random.fold_in(key, t), B)
+    keys = jax.random.split(key, B)
 
-        def once(op, k):
-            ops = SampleOps(sample=partial(sample, op), blocks=partial(blocks, op))
-            return _hss_randcompress_once(ops, plan, k, s_eff, atol, rtol, cap)
+    def once(op, k):
+        ops = SampleOps(sample=partial(sample, op), blocks=partial(blocks, op))
+        return _hss_randcompress_once(ops, plan, k, s_eff, atol, rtol, cap)
 
-        h, maxed = jax.vmap(once)(operands, keys)
-        maxed = jnp.max(maxed)
-        if isinstance(maxed, jax.core.Tracer):
-            break  # under tracing (fully-jitted step): single non-adaptive pass
-        worst = int(maxed)
-        if worst < min(s_eff - stepsize // 2, cap) or s_eff >= plan.n_pad \
-                or worst >= cap:
-            break
-        s = 2 * s
+    h, _ = jax.vmap(once)(operands, keys)
     return h
 
 

@@ -56,7 +56,9 @@ class BatchPlan:
     nb_pad: int
     ni: np.ndarray             # [B] actual interior sizes
     nb: np.ndarray             # [B] actual boundary sizes
-    A_front: np.ndarray        # [B, m_pad, m_pad] sparse part of the fronts (padded)
+    batch_size: int            # B (includes sharding-padding dummy rows)
+    front_pos: np.ndarray      # [nnz] flat positions into the [B, m_pad, m_pad] fronts
+    front_vals: np.ndarray     # [nnz] matching values (sparse part + identity padding)
     sperm: np.ndarray          # [B, nb_pad] output permutation to [int_loc; bnd_loc]
     int_ids: np.ndarray        # [B, ni_pad] global (permuted) DOF ids, sentinel N
     bnd_ids: np.ndarray        # [B, nb_pad] global (permuted) DOF ids, sentinel N
@@ -83,7 +85,7 @@ class BatchPlan:
 
     @property
     def B(self) -> int:
-        return self.A_front.shape[0]  # includes sharding-padding dummy rows
+        return self.batch_size
 
     @property
     def m_pad(self) -> int:
@@ -210,7 +212,8 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     lev_arr[:B0] = levels[nodes]
     return BatchPlan(
         node_ids=nodes, is_leaf=False, ni_pad=h1 + h2, nb_pad=q1 + q2, ni=ni, nb=nb,
-        A_front=np.zeros((B, 0, 0), dtype=A_dtype),
+        batch_size=B, front_pos=np.zeros(0, dtype=np.int64),
+        front_vals=np.zeros(0, dtype=A_dtype),
         sperm=np.zeros((B, 0), dtype=np.int64), int_ids=int_ids, bnd_ids=bnd_ids,
         levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
         structured=True, cross=cross, smap=smap, child_cplans=child_cplans,
@@ -322,9 +325,11 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
                 s_loc[int(node)] = (bidx, b)
             continue
 
-        A_front = np.zeros((B, m_pad, m_pad), dtype=A.dtype)
-        diag = np.arange(ni_pad)
-        A_front[B0:, diag, diag] = 1.0  # dummy fronts: identity pivot block
+        ident_pos = []
+        if B > B0:  # dummy fronts: identity pivot block
+            d = np.arange(ni_pad)
+            for bb in range(B0, B):
+                ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
         sperm = np.tile(np.arange(nb_pad, dtype=np.int64), (B, 1)) if nb_pad else \
             np.zeros((B, 0), dtype=np.int64)
         int_ids = np.full((B, ni_pad), N, dtype=np.int64)
@@ -404,10 +409,18 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             # identity on the padded part of the pivot block keeps the batched LU
             # well-defined (the padded rows/cols stay decoupled)
             pad_diag = np.arange(k_i, ni_pad)
-            A_front[b, pad_diag, pad_diag] = 1.0
+            ident_pos.append(base + pad_diag * (m_pad + 1))
             s_loc[node] = (bidx, b)
 
-        builder.run(A_front, m_pad)
+        front_pos, front_vals = builder.run_coo(m_pad)
+        if ident_pos:
+            ip = np.concatenate(ident_pos)
+            front_pos = np.concatenate([front_pos, ip])
+            front_vals = np.concatenate([front_vals,
+                                         np.ones(len(ip), dtype=front_vals.dtype)])
+        order_ix = np.argsort(front_pos, kind="stable")
+        front_pos = front_pos[order_ix]
+        front_vals = front_vals[order_ix]
 
         def _mk_groups(gd: Dict[int, List[Tuple[int, int]]]) -> Tuple[ChildGroup, ...]:
             out = []
@@ -425,7 +438,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
         batches.append(BatchPlan(
             node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,
-            ni=ni, nb=nb, A_front=A_front, sperm=sperm, int_ids=int_ids,
+            ni=ni, nb=nb, batch_size=B, front_pos=front_pos, front_vals=front_vals,
+            sperm=sperm, int_ids=int_ids,
             bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
             map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
             rank_cap=rank_cap, cplan=cplan if compress and rank_cap > 0 else None,

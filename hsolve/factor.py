@@ -4,8 +4,9 @@ TPU-native re-design of the reference's recursive ``factor`` (factorization.jl:5
 the planner's schedule is executed bottom-up, one *batched* fixed-shape kernel per
 height level.  Each level performs, for all fronts at once:
 
-1. extend-add assembly: scatter the children Schur complements into the padded front
-   buffers pre-filled with the sparse couplings (factorization.jl:115-123),
+1. extend-add assembly: the padded front buffers are built on device from the
+   planner's COO data and the children Schur complements are folded in by masked
+   gathers (factorization.jl:115-123 semantics, no device scatters),
 2. batched pivoted LU of the pivot block ``D`` (the reference's dense ``D`` /
    ``blockfactor``, factorization.jl:33, blockmatrix.jl:115-120),
 3. Gauss transforms ``L = Abi D^-1`` and ``R = D^-1 Aib`` via batched triangular solves
@@ -102,7 +103,7 @@ class Factorization:
     plan: Plan
 
     def __post_init__(self):
-        self._dperm = jnp.asarray(self.perm)
+        self._dperm = jnp.asarray(self.perm, dtype=jnp.int32)
 
     def apply_permuted(self, b) -> jax.Array:
         with _precision_ctx(self.opts):
@@ -146,19 +147,32 @@ def solve_with_data(data, b):
 # per-level kernels
 # ---------------------------------------------------------------------------
 
-def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int):
+def _pivot_lu(D: jax.Array, use_pallas: bool):
+    """Pivot-block LU: Pallas blocked kernel when eligible, else XLA."""
+    n = D.shape[-1]
+    if (use_pallas and jnp.issubdtype(D.dtype, jnp.floating)
+            and 256 <= n <= 1024 and n % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from hsolve.ops.pallas_lu import pallas_lu
+
+        return pallas_lu(D)
+    return dk.lu_factor(D)
+
+
+def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int,
+                       use_pallas: bool = False):
     D = front[:, :ni_pad, :ni_pad]
     Aib = front[:, :ni_pad, ni_pad:]
     Abi = front[:, ni_pad:, :ni_pad]
     Abb = front[:, ni_pad:, ni_pad:]
-    lu, perm = dk.lu_factor(D)
+    lu, perm = _pivot_lu(D, use_pallas)
     R = dk.lu_solve(lu, perm, Aib)
     L = dk.lu_solve_right(lu, perm, Abi)
     S = dk.permute_sym(dk.schur_complement(Abb, Abi, R), sperm)
     return lu, perm, L, R, S
 
 
-_factor_front = partial(jax.jit, static_argnames=("ni_pad",))(_factor_front_impl)
+_factor_front = partial(jax.jit, static_argnames=("ni_pad", "use_pallas"))(_factor_front_impl)
 
 
 def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
@@ -411,7 +425,8 @@ def _batch_kernel(bp: BatchPlan, front: jax.Array, opts: SolverOptions, bidx: in
                               int_ids=int_ids, bnd_ids=bnd_ids)
     else:
         fn = _factor_front if jitted else _factor_front_impl
-        lu, perm, L, R, S = fn(front, sperm, ni_pad=bp.ni_pad)
+        lu, perm, L, R, S = fn(front, sperm, ni_pad=bp.ni_pad,
+                               use_pallas=opts.pallas_lu)
         lev = DenseLevel(lu=lu, perm=perm, L=L, R=R,
                          int_ids=int_ids, bnd_ids=bnd_ids)
     return lev, S

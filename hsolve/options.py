@@ -41,6 +41,8 @@ class SolverOptions:
                               # (False = low-rank Gauss transforms only, dense S)
     cross_cap: int = 32       # static rank cap for junction cross-couplings in the
                               # structured extend-add (bnd/int contacts are O(1)-size)
+    pallas_lu: bool = False   # use the Pallas blocked-LU kernel for eligible pivot
+                              # blocks (float, 256 <= n <= 1024, TPU backend)
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,

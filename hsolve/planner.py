@@ -11,11 +11,12 @@ device kernels:
   scheduled earlier); every batch is padded to shared ``(ni_pad, nb_pad)`` so the whole
   batch runs as one batched kernel,
 - every sparse submatrix gather ``A[I, J]`` the numeric factorization will need is
-  precomputed here into dense padded front buffers (the TPU answer to the reference's
-  ``mygetindex.jl`` sparse-getindex monkey-patch),
-- extend-add becomes a per-node scatter map from child Schur positions into parent front
-  positions (the child S is stored in ``[int_loc; bnd_loc]`` order, factorization.jl:39-41,
-  so the map is two contiguous runs).
+  precomputed here as COO (positions, values) into the padded front coordinate system,
+  via one native C++ call per batch (the TPU answer to the reference's
+  ``mygetindex.jl`` sparse-getindex monkey-patch); fronts materialize on device,
+- extend-add becomes a per-node *inverse* index map (front position -> child Schur
+  position) so device assembly is a gather; the maps are offset identities thanks to
+  the ``[int_loc; bnd_loc]`` storage order (factorization.jl:39-41).
 
 Front layout per batch: interior DOFs at rows/cols ``[0, ni)`` padded to ``ni_pad`` with
 an identity diagonal (so the batched LU is well-defined on padding), boundary DOFs at
@@ -447,5 +448,15 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
 
     nb_root = len(tree.bnd_idx[tree.root])
+    # device index arrays go out as int32 (TPU-native index width; also keeps the
+    # programs identical whether or not the caller enables x64)
+    for bp in batches:
+        for f in ("sperm", "int_ids", "bnd_ids", "map_l", "map_r", "smap"):
+            v = getattr(bp, f)
+            if v is not None:
+                setattr(bp, f, v.astype(np.int32))
+        if bp.front_pos is not None and (len(bp.front_pos) == 0
+                                         or bp.front_pos.max() < 2 ** 31):
+            bp.front_pos = bp.front_pos.astype(np.int32)
     return Plan(N=N, perm=perm, batches=batches, tree_depth=depth, nb_root=nb_root,
                 A_perm=A_perm, tree=tree, loc=loc, opts=opts)

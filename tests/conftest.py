@@ -16,5 +16,9 @@ import jax  # noqa: E402
 # jax_platforms after import; override it back so tests run on the virtual CPU mesh
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite re-jits the same fixed-shape kernels every run;
+# caching cuts repeat wall time by minutes
+jax.config.update("jax_compilation_cache_dir", "/tmp/hsolve_test_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

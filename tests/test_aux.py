@@ -1,0 +1,61 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling accounting, options parity."""
+
+import numpy as np
+import pytest
+
+from hsolve import SolverOptions, factor, nested_dissection, poisson2d
+from hsolve.planner import plan_factorization
+from hsolve.utils.checkpoint import load_solver, save_solver
+from hsolve.utils.profiling import analyze_plan, factor_flops, roofline_report
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    A, b, shape = poisson2d(17)
+    tree = nested_dissection(shape, leafmax=20)
+    F = factor(A, tree, swlevel=0)
+    x_ref = np.asarray(F.solve(b))
+    path = str(tmp_path / "fact.ckpt")
+    save_solver(path, F)
+    L = load_solver(path)
+    x = np.asarray(L.solve(b))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-12)
+
+
+def test_checkpoint_compressed(tmp_path):
+    A, b, shape = poisson2d(33)
+    tree = nested_dissection(shape, leafmax=30)
+    F = factor(A, tree, swlevel=-3, swsize=8, atol=1e-8, rtol=1e-8, leafsize=16)
+    x_ref = np.asarray(F.solve(b))
+    path = str(tmp_path / "factc.ckpt")
+    save_solver(path, F)
+    L = load_solver(path)
+    x = np.asarray(L.solve(b))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-10)
+
+
+def test_flop_accounting():
+    A, b, shape = poisson2d(33)
+    tree = nested_dissection(shape, leafmax=30)
+    plan = plan_factorization(A, tree, SolverOptions(swlevel=0))
+    stats = analyze_plan(plan)
+    assert len(stats) == len(plan.batches)
+    assert factor_flops(plan) > 0
+    rep = roofline_report(plan, measured_factor_s=0.1)
+    assert rep["factor_gflops"] > 0 and rep["nnz_per_s"] > 0
+    assert len(rep["per_level"]) == len(plan.batches)
+
+
+def test_options_parity():
+    """Reference defaults (HierarchicalSolvers.jl:43-59) and validation semantics."""
+    o = SolverOptions()
+    assert (o.swlevel, o.swsize, o.atol, o.rtol, o.c_tol, o.leafsize, o.kest,
+            o.stepsize, o.verbose) == (5, 1, 1e-6, 1e-6, 0.5, 32, -1, 10, False)
+    o2 = o.replace(atol=1e-3, swlevel=-2)
+    assert o2.atol == 1e-3 and o.atol == 1e-6
+    with pytest.raises(ValueError):
+        SolverOptions(c_tol=1.5).validate()
+    with pytest.raises(ValueError):
+        SolverOptions(leafsize=0).validate()
+    # negative swlevel resolution (factorization.jl:8)
+    assert o2.resolve_swlevel(tree_depth=7) == 5
+    assert SolverOptions(swlevel=3).resolve_swlevel(7) == 3

@@ -28,10 +28,12 @@ def log(msg):
 _FD = [None]  # factorization dtype, set in main
 
 
-def _mv(ell, v):
-    import hsolve
+def _mv(op, v):
+    from hsolve.ops.sparse import DiaMatrix, dia_matvec, ell_matvec
 
-    return hsolve.ell_matvec(ell, v)
+    if isinstance(op, DiaMatrix):
+        return dia_matvec(op, v)
+    return ell_matvec(op, v)
 
 
 def _precond(data, v):
@@ -124,19 +126,26 @@ def main():
         t0 = time.perf_counter()
         F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
         jax.block_until_ready(F.levels[-1].lu)
-        t_setup = t_plan + (time.perf_counter() - t0)
+        t_factor = time.perf_counter() - t0
+        log(f"  factor(numeric)={t_factor:.3f}s")
+        t_setup = t_plan + t_factor
 
         t0 = time.perf_counter()
+        # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native), f64 solution/
+        # residual accumulation and convergence tests (true-residual refinement)
         x, info = hsolve.gmres_compiled(
             _mv, _precond, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
-            mv_data=ell, M_data=F.solve_data,
-            m_eps=1e-6 if on_tpu else 0.0)  # f32 preconditioner trust floor
+            mv_data=op64, M_data=F.solve_data,
+            inner_dtype="float32" if on_tpu else None,
+            mv_data_inner=op32 if on_tpu else None,
+            m_eps=1e-6 if on_tpu else 0.0)  # f32 trust floor for Givens estimates
         jax.block_until_ready(x)
         t_solve = time.perf_counter() - t0
         return t_setup, t_solve, x, info
 
-    gdtype = jnp.float64  # GMRES outer iteration in f64 for the 1e-9 residual target
-    ell = hsolve.to_ell(A, dtype=np.float64)
+    gdtype = jnp.float64  # GMRES outer accumulation in f64 for the 1e-9 target
+    op64, _ = hsolve.spmv_format(A, dtype=np.float64)  # DIA for stencils, else ELL
+    op32, _ = hsolve.spmv_format(A, dtype=np.float32)
     bj = jnp.asarray(b, dtype=gdtype)
 
     best_total, best = None, None

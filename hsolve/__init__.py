@@ -17,14 +17,15 @@ from hsolve.models.matio import read_problem, write_problem
 from hsolve.planner import plan_factorization, Plan
 from hsolve.factor import factor, factor_with_plan, Factorization
 from hsolve.krylov import gmres, gmres_compiled
-from hsolve.ops.sparse import to_ell, ell_matvec
+from hsolve.ops.sparse import to_ell, ell_matvec, to_dia, dia_matvec, spmv_format
 
 __all__ = [
     "SolverOptions", "NDTree", "parse_elimtree", "serialize_elimtree", "symfact",
     "postorder", "permuted", "contiguous", "poisson2d", "helmholtz2d", "poisson3d",
     "helmholtz3d", "p1_fem_2d", "nested_dissection", "read_problem", "write_problem",
     "plan_factorization", "Plan", "factor", "factor_with_plan", "Factorization",
-    "gmres", "gmres_compiled", "to_ell", "ell_matvec",
+    "gmres", "gmres_compiled", "to_ell", "ell_matvec", "to_dia", "dia_matvec",
+    "spmv_format",
 ]
 
 __version__ = "0.1.0"

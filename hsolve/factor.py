@@ -45,6 +45,8 @@ class DenseLevel:
     R: jax.Array         # [B, ni_pad, nb_pad] right Gauss transform
     int_ids: jax.Array   # [B, ni_pad] gather/scatter map, sentinel N
     bnd_ids: jax.Array   # [B, nb_pad] gather/scatter map, sentinel N
+    dinv: Optional[jax.Array] = None  # [B, ni_pad, ni_pad] explicit D^{-1}
+                                      # (opts.explicit_inverse: GEMM solve sweeps)
 
 
 @dataclasses.dataclass
@@ -52,6 +54,7 @@ class RootSolve:
     lu: jax.Array        # [nbr, nbr]
     perm: jax.Array      # [nbr]
     bnd_ids: jax.Array   # [nbr] sentinel-padded
+    inv: Optional[jax.Array] = None   # [nbr, nbr] explicit inverse
 
 
 @dataclasses.dataclass
@@ -70,12 +73,15 @@ class CompressedLevel:
     rrank: jax.Array     # [B]
     int_ids: jax.Array
     bnd_ids: jax.Array
+    dinv: Optional[jax.Array] = None
 
 
-for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids"]),
-                      (RootSolve, ["lu", "perm", "bnd_ids"]),
+for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids",
+                                    "dinv"]),
+                      (RootSolve, ["lu", "perm", "bnd_ids", "inv"]),
                       (CompressedLevel, ["lu", "perm", "LU_", "LV_", "RU_", "RV_",
-                                         "lrank", "rrank", "int_ids", "bnd_ids"])):
+                                         "lrank", "rrank", "int_ids", "bnd_ids",
+                                         "dinv"])):
     jax.tree_util.register_dataclass(_cls, data_fields=_fields, meta_fields=[])
 
 
@@ -104,6 +110,9 @@ class Factorization:
 
     def __post_init__(self):
         self._dperm = jnp.asarray(self.perm, dtype=jnp.int32)
+        inv = np.empty(len(self.perm), dtype=np.int32)
+        inv[self.perm] = np.arange(len(self.perm), dtype=np.int32)
+        self._diperm = jnp.asarray(inv)  # un-permute by gather, never by scatter
 
     def apply_permuted(self, b) -> jax.Array:
         with _precision_ctx(self.opts):
@@ -113,7 +122,8 @@ class Factorization:
         """x = F^{-1} b in the original ordering (parity with ``ldiv!``,
         factornode.jl:62-74)."""
         with _precision_ctx(self.opts):
-            return _solve_jit(self.levels, self.root, self._dperm, jnp.asarray(b))
+            return _solve_jit(self.levels, self.root, self._dperm, self._diperm,
+                              jnp.asarray(b))
 
     ldiv = solve
 
@@ -132,15 +142,15 @@ class Factorization:
     def solve_data(self):
         """Pytree of everything ``solve`` needs - pass as jit operands (with
         :func:`solve_with_data`) so re-factorizations reuse compiled programs."""
-        return (self.levels, self.root, self._dperm)
+        return (self.levels, self.root, self._dperm, self._diperm)
 
 
 def solve_with_data(data, b):
     """x = F^{-1} b from a :attr:`Factorization.solve_data` pytree (stable jit key)."""
-    levels, root, dperm = data
+    levels, root, dperm, diperm = data
     bp = b[dperm] if b.ndim == 1 else b[dperm, :]
     xp = _apply_impl(levels, root, bp)
-    return jnp.zeros_like(xp).at[dperm].set(xp)
+    return xp[diperm] if xp.ndim == 1 else xp[diperm, :]
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +170,7 @@ def _pivot_lu(D: jax.Array, use_pallas: bool):
 
 
 def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, explicit_inv: bool = False):
     D = front[:, :ni_pad, :ni_pad]
     Aib = front[:, :ni_pad, ni_pad:]
     Abi = front[:, ni_pad:, :ni_pad]
@@ -169,15 +179,17 @@ def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int,
     R = dk.lu_solve(lu, perm, Aib)
     L = dk.lu_solve_right(lu, perm, Abi)
     S = dk.permute_sym(dk.schur_complement(Abb, Abi, R), sperm)
-    return lu, perm, L, R, S
+    dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
+    return lu, perm, L, R, S, dinv
 
 
-_factor_front = partial(jax.jit, static_argnames=("ni_pad", "use_pallas"))(_factor_front_impl)
+_factor_front = partial(jax.jit, static_argnames=("ni_pad", "use_pallas",
+                                                  "explicit_inv"))(_factor_front_impl)
 
 
 def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
                                   ni_pad: int, cap: int, atol: float, rtol: float,
-                                  c_tol: float):
+                                  c_tol: float, explicit_inv: bool = False):
     """Compressed branch kernel (parity with ``_factor_branch`` Val{true},
     factorization.jl:78-112, with the Schur update using the compressed transforms as
     in ``_schur_complement``, :228-235):
@@ -208,12 +220,13 @@ def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
 
     S = Abb - (Abi @ RU) @ jnp.swapaxes(lr_ib.V, -1, -2)
     S = dk.permute_sym(S, sperm)
-    return lu, perm, lr_bi.U, LV, RU, lr_ib.V, lr_bi.rank, lr_ib.rank, S
+    dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
+    return lu, perm, lr_bi.U, LV, RU, lr_ib.V, lr_bi.rank, lr_ib.rank, S, dinv
 
 
 _factor_front_compressed = partial(
-    jax.jit, static_argnames=("ni_pad", "cap", "atol", "rtol", "c_tol"))(
-        _factor_front_compressed_impl)
+    jax.jit, static_argnames=("ni_pad", "cap", "atol", "rtol", "c_tol",
+                              "explicit_inv"))(_factor_front_compressed_impl)
 
 
 def _extend_add_impl(front: jax.Array, stage: jax.Array, imap: jax.Array) -> jax.Array:
@@ -235,19 +248,27 @@ def _extend_add_impl(front: jax.Array, stage: jax.Array, imap: jax.Array) -> jax
 _extend_add = jax.jit(_extend_add_impl)
 
 
+def build_front_vals(bp: BatchPlan, vals: Optional[jax.Array],
+                     pos: Optional[jax.Array]) -> jax.Array:
+    """Scatter a batch's COO data into its padded front buffer (traceable)."""
+    B, m = bp.B, bp.m_pad
+    flat = jnp.zeros((B * m * m,), dtype=vals.dtype)
+    if pos is not None and pos.shape[0]:
+        flat = flat.at[pos].set(vals, indices_are_sorted=True, unique_indices=True,
+                                mode="promise_in_bounds")
+    return flat.reshape(B, m, m)
+
+
 def build_front(bp: BatchPlan, dtype) -> jax.Array:
     """Materialize a batch's front buffers on device from the planner's COO data.
 
     Only the nonzeros (plus identity padding) cross the host->device link - the
     dense [B, m_pad, m_pad] workspace never leaves the device (host->device
     bandwidth is the setup bottleneck at scale)."""
-    B, m = bp.B, bp.m_pad
-    flat = jnp.zeros((B * m * m,), dtype=dtype)
-    if len(bp.front_pos):
-        flat = flat.at[jnp.asarray(bp.front_pos)].set(
-            jnp.asarray(bp.front_vals, dtype=dtype),
-            indices_are_sorted=True, unique_indices=True, mode="promise_in_bounds")
-    return flat.reshape(B, m, m)
+    if not len(bp.front_pos):
+        return jnp.zeros((bp.B, bp.m_pad, bp.m_pad), dtype=dtype)
+    return build_front_vals(bp, jnp.asarray(bp.front_vals, dtype=dtype),
+                            jnp.asarray(bp.front_pos))
 
 
 def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
@@ -328,6 +349,8 @@ def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
         C = C.at[lev.bnd_ids].add(-y, mode="drop")
         if isinstance(lev, StructuredLevel):
             xd = d_apply(lev, x)
+        elif lev.dinv is not None:
+            xd = lev.dinv @ x
         else:
             xd = dk.lu_solve(lev.lu, lev.perm, x)
         C = C.at[lev.int_ids].set(xd, mode="drop")
@@ -340,8 +363,9 @@ def _apply_impl(levels: List[DenseLevel], root: Optional[RootSolve],
             C = C.at[root.ids_pad].set(hss_solve(root.solver, xr), mode="drop")
         else:
             xr = C[root.bnd_ids]                # [nbr, k]
-            C = C.at[root.bnd_ids].set(dk.lu_solve(root.lu, root.perm, xr),
-                                       mode="drop")
+            xr = root.inv @ xr if root.inv is not None else \
+                dk.lu_solve(root.lu, root.perm, xr)
+            C = C.at[root.bnd_ids].set(xr, mode="drop")
 
     for lev in reversed(levels):
         xb = C[lev.bnd_ids]                     # [B, nb_pad, k]
@@ -359,10 +383,8 @@ _apply_jit = jax.jit(_apply_impl)
 
 
 @jax.jit
-def _solve_jit(levels, root, dperm, b):
-    bp = b[dperm] if b.ndim == 1 else b[dperm, :]
-    xp = _apply_impl(levels, root, bp)
-    return jnp.zeros_like(xp).at[dperm].set(xp)
+def _solve_jit(levels, root, dperm, diperm, b):
+    return solve_with_data((levels, root, dperm, diperm), b)
 
 
 # ---------------------------------------------------------------------------
@@ -387,19 +409,46 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
 
     with _precision_ctx(opts):
         if fuse:
-            from hsolve.parallel.dist import shard_level_input
-
-            def put(arr):
-                return shard_level_input(mesh, arr) if mesh is not None else arr
-
-            fronts = [put(build_front(bp, dtype)) for bp in plan.batches]
             cache = getattr(plan, "_fused_cache", None)
             if cache is None:
                 cache = {}
                 object.__setattr__(plan, "_fused_cache", cache)
-            key = (str(dtype), mesh is not None)
+            if mesh is None:
+                # single-device fast path: only the nonzero values cross the link per
+                # factorization - concatenated into ONE host->device transfer (each
+                # transfer over a remote-device link pays a full round-trip); the COO
+                # positions live on device (cached) and the scatter + entire numeric
+                # phase run as ONE program (one dispatch)
+                if "pos" not in cache:
+                    cache["pos"] = [jax.device_put(np.asarray(bp.front_pos))
+                                    for bp in plan.batches]
+                    lens = [len(bp.front_vals) for bp in plan.batches]
+                    cache["spans"] = tuple(
+                        (int(o), int(n)) for o, n in
+                        zip(np.cumsum([0] + lens)[:-1], lens))
+                pos_list = cache["pos"]
+                spans = cache["spans"]
+                vals_flat = jnp.asarray(np.concatenate(
+                    [np.asarray(bp.front_vals, dtype=dtype)
+                     for bp in plan.batches]) if spans else
+                    np.zeros((0,), dtype=np.dtype(dtype)))
+                key = (str(dtype), "vals", opts.explicit_inverse, opts.pallas_lu)
+                if key not in cache:
+                    cache[key] = jax.jit(lambda vf, ps: traced_numeric_phase(
+                        plan, [build_front_vals(bp, jax.lax.slice(vf, (o,), (o + n,)),
+                                                p)
+                               for bp, (o, n), p in zip(plan.batches, spans, ps)],
+                        opts))
+                levels, root = cache[key](vals_flat, pos_list)
+                return Factorization(N=plan.N, perm=plan.perm, levels=levels,
+                                     root=root, opts=opts, plan=plan)
+            from hsolve.parallel.dist import shard_level_input
+
+            fronts = [shard_level_input(mesh, build_front(bp, dtype))
+                      for bp in plan.batches]
+            key = (str(dtype), True, opts.explicit_inverse, opts.pallas_lu)
             if key not in cache:
-                cache[key] = jax.jit(lambda fr: traced_numeric_phase(plan, fr))
+                cache[key] = jax.jit(lambda fr: traced_numeric_phase(plan, fr, opts))
             levels, root = cache[key](fronts)
             return Factorization(N=plan.N, perm=plan.perm, levels=levels, root=root,
                                  opts=opts, plan=plan)
@@ -417,18 +466,20 @@ def _batch_kernel(bp: BatchPlan, front: jax.Array, opts: SolverOptions, bidx: in
     if bp.compress:
         key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), bidx)
         fn = _factor_front_compressed if jitted else _factor_front_compressed_impl
-        lu, perm, LU_, LV_, RU_, RV_, lrank, rrank, S = fn(
+        lu, perm, LU_, LV_, RU_, RV_, lrank, rrank, S, dinv = fn(
             front, sperm, key, ni_pad=bp.ni_pad, cap=bp.rank_cap,
-            atol=opts.atol, rtol=opts.rtol, c_tol=opts.c_tol)
+            atol=opts.atol, rtol=opts.rtol, c_tol=opts.c_tol,
+            explicit_inv=opts.explicit_inverse)
         lev = CompressedLevel(lu=lu, perm=perm, LU_=LU_, LV_=LV_, RU_=RU_, RV_=RV_,
                               lrank=lrank, rrank=rrank,
-                              int_ids=int_ids, bnd_ids=bnd_ids)
+                              int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv)
     else:
         fn = _factor_front if jitted else _factor_front_impl
-        lu, perm, L, R, S = fn(front, sperm, ni_pad=bp.ni_pad,
-                               use_pallas=opts.pallas_lu)
+        lu, perm, L, R, S, dinv = fn(front, sperm, ni_pad=bp.ni_pad,
+                                     use_pallas=opts.pallas_lu,
+                                     explicit_inv=opts.explicit_inverse)
         lev = DenseLevel(lu=lu, perm=perm, L=L, R=R,
-                         int_ids=int_ids, bnd_ids=bnd_ids)
+                         int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv)
     return lev, S
 
 
@@ -461,7 +512,7 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
         s_stacks[bidx] = S
         levels.append(lev)
 
-    root = _root_from_stacks(plan, s_stacks, dtype)
+    root = _root_from_stacks(plan, s_stacks, dtype, opts)
     return Factorization(N=plan.N, perm=plan.perm, levels=levels, root=root,
                          opts=opts, plan=plan)
 
@@ -493,7 +544,7 @@ jax.tree_util.register_dataclass(RootHss, data_fields=["solver", "ids_pad"],
                                  meta_fields=[])
 
 
-def _root_from_stacks(plan: Plan, s_stacks, dtype):
+def _root_from_stacks(plan: Plan, s_stacks, dtype, opts=None):
     from hsolve.ops.hss import hss_factor
     from hsolve.structured import SchurHss
 
@@ -523,19 +574,22 @@ def _root_from_stacks(plan: Plan, s_stacks, dtype):
     pad = jnp.arange(S_root.shape[0]) >= plan.nb_root
     S_root = S_root + jnp.diag(pad.astype(dtype))
     lu, perm = dk.lu_factor(S_root)
-    return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]))
+    if opts is None:
+        opts = plan.opts or SolverOptions()
+    inv = dk.lu_inverse(lu, perm) if opts.explicit_inverse else None
+    return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv)
 
 
-def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
+def traced_numeric_phase(plan: Plan, fronts: List[jax.Array], opts=None):
     """Pure traceable numeric phase: per-batch front buffers in, (levels, root) out.
 
-    Lets the *entire* factorization be staged as one jitted program (used by the
-    multi-chip dry-run and fusion experiments); ``factor_with_plan`` uses the per-level
-    jits instead so equal-shaped levels share compilations."""
+    Lets the *entire* factorization be staged as one jitted program (the default
+    single-device path and the multi-chip dry-run)."""
     levels: List[DenseLevel] = []
     s_stacks = {}
     dtype = fronts[0].dtype
-    opts = plan.opts or SolverOptions()
+    if opts is None:
+        opts = plan.opts or SolverOptions()
     for bidx, bp in enumerate(plan.batches):
         if bp.structured:
             lev, S = _run_structured(bp, s_stacks, opts, dtype, bidx)
@@ -558,7 +612,7 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array]):
                                     bp.cplan, opts.atol, opts.rtol, bp.rank_cap)
         s_stacks[bidx] = S
         levels.append(lev)
-    root = _root_from_stacks(plan, s_stacks, dtype)
+    root = _root_from_stacks(plan, s_stacks, dtype, opts)
     return levels, root
 
 

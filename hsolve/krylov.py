@@ -122,7 +122,7 @@ _IDENTITY_M = lambda data, v: v
 def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
                    reltol: float = 1e-9, restart: int = 30,
                    maxiter: Optional[int] = None, M_data=None, mv_data=None,
-                   m_eps: float = 0.0):
+                   m_eps: float = 0.0, inner_dtype=None, mv_data_inner=None):
     """Fully-jitted restarted GMRES: the entire solve (restart cycles, Arnoldi, Givens
     bookkeeping, convergence tests) runs as one device program - no host round-trips
     per iteration.  Semantics match :func:`gmres` (right preconditioning, true-residual
@@ -132,6 +132,15 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     calls and pass varying operator state through ``mv_data``/``M_data`` (the callables
     then take ``(data, v)``), so re-solving with a new factorization reuses the
     compiled program.
+
+    Mixed precision (the TPU-native configuration): pass ``inner_dtype='float32'``
+    (+ an f32 ``mv_data_inner``) to run the Arnoldi cycles - basis, orthogonalization,
+    inner matvecs - in f32 while the solution update, residual and convergence test
+    stay in ``b.dtype`` (f64).  The true-residual restart check makes the outer loop
+    behave as iterative refinement, so reltol ~1e-9 targets are reached even though
+    TPU f64 is software-emulated and the inner cycles never touch it.  Set ``m_eps``
+    around the inner dtype's epsilon (e.g. 1e-6) so a cycle restarts once its Givens
+    estimate falls below what the reduced-precision basis can deliver.
     """
     if maxiter is None:
         maxiter = restart
@@ -147,10 +156,11 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     # maxiter cycles (a done flag makes finished cycles free), so the total work is
     # still capped at ~maxiter preconditioned matvecs
     ncycles = int(maxiter)
+    idt = None if inner_dtype is None else jnp.dtype(inner_dtype).name
     x, iters, hist, res, bnorm = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
                                                jnp.asarray(b), float(reltol),
                                                restart, int(ncycles), int(maxiter),
-                                               float(m_eps))
+                                               float(m_eps), mv_data_inner, idt)
     # one consolidated device->host fetch (dispatch round-trips dominate small solves)
     iters, hist, res, bnorm = jax.device_get((iters, hist, res, bnorm))
     iters = int(iters)
@@ -159,36 +169,44 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     return x, info
 
 
-@partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles", "maxiter"))
+@partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles", "maxiter",
+                                   "inner_dtype"))
 def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, maxiter,
-                  m_eps=0.0):
+                  m_eps=0.0, mv_data_inner=None, inner_dtype=None):
     # m_eps: trust floor for the in-cycle Givens residual estimate, relative to the
     # cycle's starting residual.  With a reduced-precision preconditioner the estimate
     # keeps dropping below what the computed basis can actually deliver; restarting at
     # the floor turns the outer loop into iterative refinement instead of burning the
     # iteration budget inside one fictitious cycle.
     matvec = lambda v: mv_fn(mv_data, v)
+    mv_in = mv_data if mv_data_inner is None else mv_data_inner
+    matvec_i = lambda v: mv_fn(mv_in, v)
     M = lambda v: m_fn(M_data, v)
     from jax import lax
 
     n = b.shape[0]
-    dtype = b.dtype
-    rdtype = jnp.real(b).dtype
+    odtype = b.dtype                      # outer: solution, residuals, tolerances
+    dtype = odtype if inner_dtype is None else jnp.dtype(inner_dtype)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    ordtype = jnp.zeros((), odtype).real.dtype
     m = restart
     bnorm = jnp.linalg.norm(b)
-    tol = reltol * bnorm
+    tol = (reltol * bnorm).astype(ordtype)
 
     def inner_body(st):
         V, H, cs, sn, g, j, res, it = st
-        w = matvec(M(V[j]))
-        mask = (jnp.arange(m + 1) <= j).astype(rdtype)
+        w = matvec_i(M(V[j]))
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
 
-        def mgs(wc, vm):
-            v, mk = vm
-            hval = jnp.vdot(v, wc) * mk
-            return wc - hval * v, hval
+        # CGS2 (classical Gram-Schmidt, twice): two GEMV pairs instead of a
+        # sequential MGS scan - the orthogonalization then runs on the MXU and
+        # keeps MGS-grade orthogonality (Giraud et al.)
+        h1 = (jnp.conj(V) @ w) * mask
+        w = w - V.T @ h1
+        h2 = (jnp.conj(V) @ w) * mask
+        w = w - V.T @ h2
+        hcol = h1 + h2
 
-        w, hcol = lax.scan(mgs, w, (V, mask))
         hnorm = jnp.linalg.norm(w).astype(rdtype)
         V = V.at[j + 1].set(w / jnp.where(hnorm > 0, hnorm, 1.0).astype(dtype))
         hcol = hcol.at[j + 1].set(hnorm.astype(dtype))
@@ -209,7 +227,8 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
         cs_j = jnp.where(safe, jnp.where(absa > 0, absa / denom, 0.0), 1.0)
         sn_j = jnp.where(
             safe & (absa > 0),
-            (a_ * jnp.conj(b_)) / jnp.maximum(absa * denom, 1e-300),
+            (a_ * jnp.conj(b_)) / jnp.maximum(absa * denom,
+                                              jnp.finfo(rdtype).tiny),
             jnp.where(safe, 1.0, 0.0).astype(dtype))
         hcol = hcol.at[j].set(cs_j * a_ + sn_j * b_).at[j + 1].set(0.0)
         H = H.at[:, j].set(hcol)
@@ -227,20 +246,21 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
         return inner_cond
 
     def cycle(carry, _):
-        x, it, hist, done = carry
+        x, r, beta, it, hist, done = carry
 
         def run(carry):
-            x, it, hist, _ = carry
-            r = b - matvec(x)
-            beta = jnp.linalg.norm(r)
+            x, r, beta, it, hist, _ = carry
+            # r, beta carried from the previous cycle's true-residual check: one
+            # outer-precision matvec per cycle, not two
+            beta_i = beta.astype(rdtype)
             V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(
-                r / jnp.where(beta > 0, beta, 1.0).astype(dtype))
+                (r / jnp.where(beta > 0, beta, 1.0)).astype(dtype))
             H = jnp.zeros((m + 1, m), dtype=dtype)
             cs = jnp.ones((m,), dtype=rdtype)
             sn = jnp.zeros((m,), dtype=dtype)
-            g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta.astype(dtype))
-            st = (V, H, cs, sn, g, 0, beta.astype(rdtype), it)
-            floor = jnp.maximum(tol, m_eps * beta.astype(rdtype))
+            g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta_i.astype(dtype))
+            st = (V, H, cs, sn, g, 0, beta_i, it)
+            floor = jnp.maximum(tol.astype(rdtype), m_eps * beta_i)
             V, H, cs, sn, g, j, res, _ = lax.while_loop(
                 make_inner_cond(floor), inner_body, st)
             # y = H[:m,:m]^{-1} g ; mask columns past j with identity
@@ -250,20 +270,21 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
             gm = jnp.where(colmask, g[:m], 0.0)
             y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
             upd = jnp.tensordot(y, V[:m], axes=1)
-            x = x + M(upd)
+            x = x + M(upd).astype(odtype)
             it = it + j
-            true_res = jnp.linalg.norm(b - matvec(x)).astype(rdtype)
-            hist = hist.at[it].set(true_res)
-            return x, it, hist, (true_res <= tol) | (it >= maxiter) | (j == 0)
+            r_new = b - matvec(x)
+            beta_new = jnp.linalg.norm(r_new)
+            hist = hist.at[it].set(beta_new.astype(ordtype))
+            return x, r_new, beta_new, it, hist, \
+                (beta_new <= tol) | (it >= maxiter) | (j == 0)
 
-        x, it, hist, done = lax.cond(done, lambda c: c, run, (x, it, hist, done))
-        return (x, it, hist, done), None
+        out = lax.cond(done, lambda c: c, run, (x, r, beta, it, hist, done))
+        return out, None
 
-    hist0 = jnp.zeros((maxiter + 1,), dtype=rdtype).at[0].set(bnorm.astype(rdtype))
-    carry0 = (jnp.zeros_like(b), 0, hist0, bnorm <= tol)
-    (x, it, hist, done), _ = lax.scan(cycle, carry0, None, length=ncycles)
-    final_res = jnp.linalg.norm(b - matvec(x)).astype(rdtype)
-    return x, it, hist, final_res, bnorm
+    hist0 = jnp.zeros((maxiter + 1,), dtype=ordtype).at[0].set(bnorm.astype(ordtype))
+    carry0 = (jnp.zeros_like(b), b, bnorm, 0, hist0, bnorm <= tol)
+    (x, r, beta, it, hist, done), _ = lax.scan(cycle, carry0, None, length=ncycles)
+    return x, it, hist, beta.astype(ordtype), bnorm
 
 
 @jax.jit

@@ -52,6 +52,14 @@ def lu_solve_right(lu: jax.Array, perm: jax.Array, B: jax.Array) -> jax.Array:
     return jnp.take_along_axis(Z, inv[..., None, :], axis=-1)
 
 
+def lu_inverse(lu: jax.Array, perm: jax.Array) -> jax.Array:
+    """Explicit ``D^{-1}`` from (lu, perm) (batched).  Solve sweeps then apply the
+    pivot block as one GEMM instead of two latency-bound triangular solves."""
+    n = lu.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=lu.dtype), lu.shape)
+    return lu_solve(lu, perm, eye)
+
+
 def schur_complement(Abb: jax.Array, Abi: jax.Array, R: jax.Array) -> jax.Array:
     """``S = Abb - Abi @ R`` (batched GEMM; the multifrontal hot loop,
     factorization.jl:40 and :72)."""

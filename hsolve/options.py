@@ -43,6 +43,11 @@ class SolverOptions:
                               # structured extend-add (bnd/int contacts are O(1)-size)
     pallas_lu: bool = False   # use the Pallas blocked-LU kernel for eligible pivot
                               # blocks (float, 256 <= n <= 1024, TPU backend)
+    explicit_inverse: bool = True  # additionally store D^{-1} (and the root inverse)
+                              # so every solve sweep is a GEMM instead of a pair of
+                              # triangular solves (~2.4x faster on TPU, where TRSM is
+                              # a latency-bound blocked loop); trades 2x pivot-block
+                              # memory.  Turn off for memory-bound giant problems.
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,

@@ -152,14 +152,30 @@ def symfact(tree: NDTree) -> LocTree:
     n = tree.nnodes
     loc = LocTree([np.empty(0, np.int64) for _ in range(n)],
                   [np.empty(0, np.int64) for _ in range(n)])
+    # one shared mark array (1 = parent int, 2 = parent bnd) makes each membership
+    # query O(|set|) instead of np.isin's sort-based O(|set| log |set|) - symfact is
+    # the symbolic-phase hot spot (SURVEY.md section 3.4)
+    nmax = 0
+    for i in range(n):
+        if len(tree.int_idx[i]):
+            nmax = max(nmax, int(tree.int_idx[i].max()))
+        if len(tree.bnd_idx[i]):
+            nmax = max(nmax, int(tree.bnd_idx[i].max()))
+    code = np.zeros(nmax + 2, dtype=np.int8)
     for i in tree.topo_order():
         if tree.is_leaf(i):
             continue
         l, r = int(tree.left[i]), int(tree.right[i])
-        int_l = _positions_in(tree.bnd_idx[l], tree.int_idx[i])
-        bnd_l = _positions_in(tree.bnd_idx[l], tree.bnd_idx[i])
-        int_r = _positions_in(tree.bnd_idx[r], tree.int_idx[i])
-        bnd_r = _positions_in(tree.bnd_idx[r], tree.bnd_idx[i])
+        code[tree.int_idx[i]] = 1
+        code[tree.bnd_idx[i]] = 2
+        cl = code[tree.bnd_idx[l]]
+        cr = code[tree.bnd_idx[r]]
+        int_l = np.flatnonzero(cl == 1)
+        bnd_l = np.flatnonzero(cl == 2)
+        int_r = np.flatnonzero(cr == 1)
+        bnd_r = np.flatnonzero(cr == 2)
+        code[tree.int_idx[i]] = 0
+        code[tree.bnd_idx[i]] = 0
         loc.int_loc[l] = int_l
         loc.bnd_loc[l] = bnd_l
         loc.int_loc[r] = int_r

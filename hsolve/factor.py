@@ -399,13 +399,15 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
     node axis (elimination-tree parallelism) and XLA inserts the inter-level collectives
     - see hsolve.parallel.dist.
 
-    ``fuse`` stages the *entire* numeric phase as one jitted program (halves dispatch
-    and compile cost); available whenever no batch needs the host-side adaptive
-    sampling loop (structured batches), which is the default decision."""
+    ``fuse`` stages the *entire* numeric phase as one jitted program - the default.
+    Structured (HSS) batches fuse too: their randomized sampling is single-shot at
+    the planned rank cap, so the whole compressed factorization is one static-shape
+    program (running it per-batch costs seconds of device round-trips).  ``fuse=False``
+    keeps per-batch dispatches (useful for debugging one level at a time)."""
     if dtype is None:
         dtype = jnp.asarray(plan.A_perm.data[:1]).dtype
     if fuse is None:
-        fuse = not any(bp.structured for bp in plan.batches)
+        fuse = True
 
     with _precision_ctx(opts):
         if fuse:

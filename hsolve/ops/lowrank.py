@@ -47,6 +47,40 @@ class LowRank(NamedTuple):
         return self.U @ jnp.swapaxes(self.V, -1, -2)
 
 
+def svd_small(W: jax.Array):
+    """SVD of a small batched matrix, ``full_matrices=False`` semantics.
+
+    XLA:TPU's direct SVD lowering crashes this environment's compiler
+    (``Check failed: buffer != nullptr`` during HLO optimization), so on TPU the
+    factorization is computed from the Gram matrix via ``eigh`` (which lowers fine).
+    Gram squaring halves the attainable accuracy for the smallest singular values -
+    irrelevant for tolerance truncation at compression tolerances, which is the only
+    use here; exact-parity paths run f64 on CPU where ``jnp.linalg.svd`` is used.
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.linalg.svd(W, full_matrices=False)
+    m, n = W.shape[-2], W.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(jnp.real(W).dtype).tiny, jnp.real(W).dtype)
+    if m <= n:
+        G = W @ jnp.swapaxes(W, -1, -2).conj()          # [..., m, m]
+        lam, U = jnp.linalg.eigh(G)                     # ascending
+        lam = lam[..., ::-1]
+        U = U[..., ::-1]
+        sv = jnp.sqrt(jnp.maximum(lam, 0))
+        inv = jnp.where(sv > tiny, 1.0 / jnp.maximum(sv, tiny), 0.0)
+        Vh = inv[..., :, None].astype(W.dtype) * (
+            jnp.swapaxes(U, -1, -2).conj() @ W)
+        return U, sv, Vh
+    G = jnp.swapaxes(W, -1, -2).conj() @ W              # [..., n, n]
+    lam, V = jnp.linalg.eigh(G)
+    lam = lam[..., ::-1]
+    V = V[..., ::-1]
+    sv = jnp.sqrt(jnp.maximum(lam, 0))
+    inv = jnp.where(sv > tiny, 1.0 / jnp.maximum(sv, tiny), 0.0)
+    U = (W @ V) * inv[..., None, :].astype(W.dtype)
+    return U, sv, jnp.swapaxes(V, -1, -2).conj()
+
+
 def _rank_mask(s: jax.Array, atol: float, rtol: float, cap: int):
     """Rank from singular values: keep sigma_i > max(atol, rtol*sigma_0), capped."""
     s0 = s[..., :1]
@@ -71,7 +105,7 @@ def rand_lowrank(A: jax.Array, key: jax.Array, atol: float, rtol: float,
     Y = A @ omega                                   # [..., m, s]
     Q, _ = jnp.linalg.qr(Y)                         # reduced: [..., m, s]
     W = jnp.swapaxes(Q, -1, -2).conj() @ A          # [..., s, n]
-    Uw, sv, Vh = jnp.linalg.svd(W, full_matrices=False)
+    Uw, sv, Vh = svd_small(W)
     rank, mask = _rank_mask(sv, atol, rtol, cap)
     k = min(cap, s)
     U = (Q @ Uw)[..., :, :k] * (sv[..., None, :k] * mask[..., None, :k])
@@ -181,7 +215,7 @@ def lowrank_recompress(lr: LowRank, atol: float, rtol: float, cap: int) -> LowRa
     Qu, Ru = jnp.linalg.qr(lr.U)
     Qv, Rv = jnp.linalg.qr(lr.V)
     core = Ru @ jnp.swapaxes(Rv, -1, -2)
-    Uc, sv, Vh = jnp.linalg.svd(core, full_matrices=False)
+    Uc, sv, Vh = svd_small(core)
     rank, mask = _rank_mask(sv, atol, rtol, cap)
     k = min(cap, core.shape[-1])
     U = (Qu @ Uc)[..., :, :k] * (sv[..., None, :k] * mask[..., None, :k])

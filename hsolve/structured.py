@@ -158,12 +158,29 @@ def structured_factor_batch(sh1: SchurHss, sh2: SchurHss, cross: dict,
                             n2: jax.Array, int_ids, bnd_ids, opts, key,
                             rank_cap: int) -> Tuple[StructuredLevel, SchurHss]:
     """Factor one structured batch; returns the solve-sweep record and the parent
-    Schur complements in HSS form."""
+    Schur complements in HSS form.  Dispatches to one jitted program per batch shape
+    (the whole structured kernel - generator algebra, HSS solvers, randomized
+    sampling - is static-shape, so running it eagerly would cost hundreds of
+    device round-trips)."""
+    return _structured_factor_jit(
+        sh1, sh2, cross, smap, n1, n2, int_ids, bnd_ids, key, cplan=cplan,
+        rank_cap=rank_cap, atol=opts.atol, rtol=opts.rtol, c_tol=opts.c_tol,
+        cross_cap=opts.cross_cap, kest=opts.kest, stepsize=opts.stepsize)
+
+
+@partial(jax.jit, static_argnames=("cplan", "rank_cap", "atol", "rtol", "c_tol",
+                                   "cross_cap", "kest", "stepsize"))
+def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
+                           smap: jax.Array, n1: jax.Array, n2: jax.Array,
+                           int_ids, bnd_ids, key, *, cplan: ClusterPlan,
+                           rank_cap: int, atol: float, rtol: float, c_tol: float,
+                           cross_cap: int, kest: int,
+                           stepsize: int) -> Tuple[StructuredLevel, SchurHss]:
     cpl, cpr = sh1.cplan, sh2.cplan
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
     dtype = sh1.h.D.dtype
-    ct = opts.c_tol
+    ct = c_tol
 
     A11_1 = jax.vmap(partial(hss_sub, side=0))(sh1.h)
     A11_2 = jax.vmap(partial(hss_sub, side=0))(sh2.h)
@@ -182,12 +199,12 @@ def structured_factor_batch(sh1: SchurHss, sh2: SchurHss, cross: dict,
 
     # low-rank junction couplings at c_tol * tol (the reference's 0.5 factor,
     # factorization.jl:99-100, honored via the declared c_tol option)
-    rc = min(opts.cross_cap, rank_cap)
+    rc = min(cross_cap, rank_cap)
     ks = jax.random.split(key, 8)
-    lr_ib12 = rand_lowrank(cross["cib12"], ks[0], ct * opts.atol, ct * opts.rtol, rc)
-    lr_ib21 = rand_lowrank(cross["cib21"], ks[1], ct * opts.atol, ct * opts.rtol, rc)
-    lr_bi12 = rand_lowrank(cross["cbi12"], ks[2], ct * opts.atol, ct * opts.rtol, rc)
-    lr_bi21 = rand_lowrank(cross["cbi21"], ks[3], ct * opts.atol, ct * opts.rtol, rc)
+    lr_ib12 = rand_lowrank(cross["cib12"], ks[0], ct * atol, ct * rtol, rc)
+    lr_ib21 = rand_lowrank(cross["cib21"], ks[1], ct * atol, ct * rtol, rc)
+    lr_bi12 = rand_lowrank(cross["cbi12"], ks[2], ct * atol, ct * rtol, rc)
+    lr_bi21 = rand_lowrank(cross["cbi21"], ks[3], ct * atol, ct * rtol, rc)
 
     # pivot block factor: solvers for H1 and the sampled inner Schur complement
     solver1 = jax.vmap(hss_factor)(A11_1)
@@ -209,7 +226,7 @@ def structured_factor_batch(sh1: SchurHss, sh2: SchurHss, cross: dict,
 
     hssS22 = hss_randcompress_batched(
         s22_sample, s22_blocks, s22_ops, A11_2.plan, jax.random.fold_in(key, 101),
-        opts.atol, opts.rtol, rank_cap, kest=opts.kest, stepsize=max(opts.stepsize, 8))
+        atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
     solver22 = jax.vmap(hss_factor)(hssS22)
 
     lev = StructuredLevel(
@@ -300,5 +317,5 @@ def structured_factor_batch(sh1: SchurHss, sh2: SchurHss, cross: dict,
 
     hssS = hss_randcompress_batched(
         s_sample, s_blocks, s_ops, cplan, jax.random.fold_in(key, 202),
-        opts.atol, opts.rtol, rank_cap, kest=opts.kest, stepsize=max(opts.stepsize, 8))
+        atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
     return lev, SchurHss(h=hssS, n1=n1, n2=n2)

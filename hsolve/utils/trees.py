@@ -68,7 +68,14 @@ class NDTree:
         return int(depth[self.root])
 
     def topo_order(self) -> np.ndarray:
-        """Node ids in post-order (children before parents, left before right)."""
+        """Node ids in post-order (children before parents, left before right).
+
+        Memoized - the topology (left/right/root) is immutable in practice (symfact
+        and permuted only rewrite index sets); callers in the symbolic phase hit this
+        several times per plan."""
+        cached = getattr(self, "_topo_cache", None)
+        if cached is not None and len(cached) == self.nnodes:
+            return cached
         order: List[int] = []
         stack = [(self.root, False)]
         while stack:
@@ -81,7 +88,9 @@ class NDTree:
                 stack.append((node, True))
                 stack.append((self.right[node], False))
                 stack.append((self.left[node], False))
-        return np.asarray(order, dtype=np.int64)
+        arr = np.asarray(order, dtype=np.int64)
+        object.__setattr__(self, "_topo_cache", arr)
+        return arr
 
     def levels(self) -> np.ndarray:
         """Per-node level with root = 1 (parity with the reference's recursion level,

@@ -74,6 +74,14 @@ def _load():
     lib.csr_gather_coo_many_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p,
                                              i64p, ctypes.c_int64, i64p, i64p, i64p,
                                              i64p, c128o]
+    lib.csr_gather_coo_pooled_f64.restype = ctypes.c_int64
+    lib.csr_gather_coo_pooled_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p,
+                                              i64p, i64p, i64p, i64p,
+                                              ctypes.c_int64, i64p, i64p, f64o]
+    lib.csr_gather_coo_pooled_c128.restype = ctypes.c_int64
+    lib.csr_gather_coo_pooled_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p,
+                                               i64p, i64p, i64p, i64p,
+                                               ctypes.c_int64, i64p, i64p, c128o]
     _lib = lib
     return _lib
 
@@ -199,6 +207,46 @@ class BlockGatherBuilder:
         fn = _lib.csr_gather_many_c128 if g.iscomplex else _lib.csr_gather_many_f64
         fn(g.indptr, g.indices, g.data, rows_cat, row_ptr, cols_cat, col_ptr,
            len(offs), g.colmap, out, offs, out_stride)
+
+
+def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
+                   rl: np.ndarray, cs: np.ndarray, cl: np.ndarray,
+                   out_off: np.ndarray, out_stride: np.ndarray):
+    """COO gather of many blocks whose row/col index vectors are segments of one
+    shared ``pool`` (vectorized planner assembly: no per-block Python arrays).
+    Returns (pos [nnz] int64, vals [nnz])."""
+    g = gather
+    dt = np.complex128 if g.iscomplex else np.float64
+    nblocks = len(rs)
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
+    pool = np.ascontiguousarray(pool, dtype=np.int64)
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (rs, rl, cs, cl, out_off, out_stride)]
+    if not g.ok:
+        poss, vals = [], []
+        for k in range(nblocks):
+            rows = pool[args[0][k]: args[0][k] + args[1][k]]
+            cols = pool[args[2][k]: args[2][k] + args[3][k]]
+            if len(rows) == 0 or len(cols) == 0:
+                continue
+            blk = g.A[rows][:, cols].tocoo()
+            poss.append(args[4][k] + blk.row.astype(np.int64) * args[5][k] + blk.col)
+            vals.append(blk.data.astype(dt))
+        if not poss:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
+        return np.concatenate(poss), np.concatenate(vals)
+    counts = g.indptr[1:] - g.indptr[:-1]
+    # every pool segment appears as block rows at most twice in the planner's
+    # front layout (int rows of [ii, ib]; bnd rows of [bi, bb]; same for branches)
+    bound = 2 * int(np.sum(counts[pool])) if len(pool) else 0
+    pos = np.empty(max(bound, 1), dtype=np.int64)
+    val = np.empty(max(bound, 1), dtype=dt)
+    fn = _lib.csr_gather_coo_pooled_c128 if g.iscomplex else \
+        _lib.csr_gather_coo_pooled_f64
+    n = fn(g.indptr, g.indices, g.data, pool, args[0], args[1], args[2], args[3],
+           args[4], args[5], nblocks, g.colmap, pos, val)
+    return pos[:n].copy(), val[:n].copy()
 
 
 def available() -> bool:

@@ -161,6 +161,73 @@ int64_t csr_gather_coo_many_c128(const int64_t *indptr, const int64_t *indices,
   return c;
 }
 
+// Pooled-spec COO variant: block k's row/col index vectors are segments of one
+// shared index pool (pool[rs[k] : rs[k]+rl[k]] and pool[cs[k] : cs[k]+cl[k]]).
+// The planner assembles the segment table with vectorized numpy instead of
+// accumulating ~100k small Python arrays (which dominated symbolic time at scale).
+int64_t csr_gather_coo_pooled_f64(const int64_t *indptr, const int64_t *indices,
+                                  const double *data, const int64_t *pool,
+                                  const int64_t *rs, const int64_t *rl,
+                                  const int64_t *cs, const int64_t *cl,
+                                  const int64_t *out_off, const int64_t *out_stride,
+                                  int64_t nblocks, int64_t *colmap,
+                                  int64_t *pos_out, double *val_out) {
+  int64_t c = 0;
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t *cols = pool + cs[k];
+    const int64_t ncols = cl[k];
+    if (ncols == 0 || rl[k] == 0) continue;
+    for (int64_t j = 0; j < ncols; ++j) colmap[cols[j]] = j;
+    const int64_t *rows = pool + rs[k];
+    for (int64_t i = 0; i < rl[k]; ++i) {
+      const int64_t r = rows[i];
+      const int64_t base = out_off[k] + i * out_stride[k];
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) {
+          pos_out[c] = base + kk;
+          val_out[c] = data[p];
+          ++c;
+        }
+      }
+    }
+    for (int64_t j = 0; j < ncols; ++j) colmap[cols[j]] = -1;
+  }
+  return c;
+}
+
+int64_t csr_gather_coo_pooled_c128(const int64_t *indptr, const int64_t *indices,
+                                   const std::complex<double> *data,
+                                   const int64_t *pool, const int64_t *rs,
+                                   const int64_t *rl, const int64_t *cs,
+                                   const int64_t *cl, const int64_t *out_off,
+                                   const int64_t *out_stride, int64_t nblocks,
+                                   int64_t *colmap, int64_t *pos_out,
+                                   std::complex<double> *val_out) {
+  int64_t c = 0;
+  for (int64_t k = 0; k < nblocks; ++k) {
+    const int64_t *cols = pool + cs[k];
+    const int64_t ncols = cl[k];
+    if (ncols == 0 || rl[k] == 0) continue;
+    for (int64_t j = 0; j < ncols; ++j) colmap[cols[j]] = j;
+    const int64_t *rows = pool + rs[k];
+    for (int64_t i = 0; i < rl[k]; ++i) {
+      const int64_t r = rows[i];
+      const int64_t base = out_off[k] + i * out_stride[k];
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t kk = colmap[indices[p]];
+        if (kk >= 0) {
+          pos_out[c] = base + kk;
+          val_out[c] = data[p];
+          ++c;
+        }
+      }
+    }
+    for (int64_t j = 0; j < ncols; ++j) colmap[cols[j]] = -1;
+  }
+  return c;
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

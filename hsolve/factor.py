@@ -434,7 +434,10 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                     [np.asarray(bp.front_vals, dtype=dtype)
                      for bp in plan.batches]) if spans else
                     np.zeros((0,), dtype=np.dtype(dtype)))
-                key = (str(dtype), "vals", opts.explicit_inverse, opts.pallas_lu)
+                # the jitted closure bakes in the full opts (tolerances, seed, ...) -
+                # key on all of them so a re-factorization with different options
+                # never reuses a stale program
+                key = (str(dtype), "vals", dataclasses.astuple(opts))
                 if key not in cache:
                     cache[key] = jax.jit(lambda vf, ps: traced_numeric_phase(
                         plan, [build_front_vals(bp, jax.lax.slice(vf, (o,), (o + n,)),
@@ -448,7 +451,7 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
 
             fronts = [shard_level_input(mesh, build_front(bp, dtype))
                       for bp in plan.batches]
-            key = (str(dtype), True, opts.explicit_inverse, opts.pallas_lu)
+            key = (str(dtype), "mesh", dataclasses.astuple(opts))
             if key not in cache:
                 cache[key] = jax.jit(lambda fr: traced_numeric_phase(plan, fr, opts))
             levels, root = cache[key](fronts)

@@ -122,7 +122,8 @@ _IDENTITY_M = lambda data, v: v
 def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
                    reltol: float = 1e-9, restart: int = 30,
                    maxiter: Optional[int] = None, M_data=None, mv_data=None,
-                   m_eps: float = 0.0, inner_dtype=None, mv_data_inner=None):
+                   m_eps: float = 0.0, inner_dtype=None, mv_data_inner=None,
+                   fetch_info: bool = True):
     """Fully-jitted restarted GMRES: the entire solve (restart cycles, Arnoldi, Givens
     bookkeeping, convergence tests) runs as one device program - no host round-trips
     per iteration.  Semantics match :func:`gmres` (right preconditioning, true-residual
@@ -161,12 +162,29 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
                                                jnp.asarray(b), float(reltol),
                                                restart, int(ncycles), int(maxiter),
                                                float(m_eps), mv_data_inner, idt)
+    if not fetch_info:
+        # deferred-fetch mode: x and the raw device scalars come back immediately;
+        # the caller blocks on x (the solve result) and fetches diagnostics later -
+        # device->host fetches of fresh buffers are the latency hot spot on
+        # remote-attached TPUs, and they are not part of the solve itself
+        return x, {"_device": (iters, hist, res, bnorm), "reltol": reltol}
     # one consolidated device->host fetch (dispatch round-trips dominate small solves)
     iters, hist, res, bnorm = jax.device_get((iters, hist, res, bnorm))
     iters = int(iters)
     info = {"resnorm": np.asarray(hist)[: iters + 1], "iters": iters,
             "converged": bool(res <= max(reltol * float(bnorm), 0.0))}
     return x, info
+
+
+def fetch_gmres_info(info: dict) -> dict:
+    """Resolve a ``fetch_info=False`` result from :func:`gmres_compiled` into the
+    standard info dict (performs the deferred device->host fetch)."""
+    if "_device" not in info:
+        return info
+    iters, hist, res, bnorm = jax.device_get(info["_device"])
+    iters = int(iters)
+    return {"resnorm": np.asarray(hist)[: iters + 1], "iters": iters,
+            "converged": bool(res <= max(info["reltol"] * float(bnorm), 0.0))}
 
 
 @partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles", "maxiter",
@@ -245,11 +263,11 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
             return (j < m) & (res > floor) & (it + j < maxiter)
         return inner_cond
 
-    def cycle(carry, _):
-        x, r, beta, it, hist, done = carry
+    def cycle(carry):
+        x, r, beta, it, hist, done, cyc = carry
 
         def run(carry):
-            x, r, beta, it, hist, _ = carry
+            x, r, beta, it, hist, _, cyc = carry
             # r, beta carried from the previous cycle's true-residual check: one
             # outer-precision matvec per cycle, not two
             beta_i = beta.astype(rdtype)
@@ -276,14 +294,16 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
             beta_new = jnp.linalg.norm(r_new)
             hist = hist.at[it].set(beta_new.astype(ordtype))
             return x, r_new, beta_new, it, hist, \
-                (beta_new <= tol) | (it >= maxiter) | (j == 0)
+                (beta_new <= tol) | (it >= maxiter) | (j == 0), cyc + 1
 
-        out = lax.cond(done, lambda c: c, run, (x, r, beta, it, hist, done))
-        return out, None
+        return run(carry)
 
     hist0 = jnp.zeros((maxiter + 1,), dtype=ordtype).at[0].set(bnorm.astype(ordtype))
-    carry0 = (jnp.zeros_like(b), b, bnorm, 0, hist0, bnorm <= tol)
-    (x, r, beta, it, hist, done), _ = lax.scan(cycle, carry0, None, length=ncycles)
+    carry0 = (jnp.zeros_like(b), b, bnorm, 0, hist0, bnorm <= tol, 0)
+    # while-loop over restart cycles: converged solves never touch the remaining
+    # cycle budget (a scan-of-conds pays per skipped cycle; measured ~40us each)
+    x, r, beta, it, hist, done, _ = lax.while_loop(
+        lambda c: (~c[5]) & (c[6] < ncycles), cycle, carry0)
     return x, it, hist, beta.astype(ordtype), bnorm
 
 

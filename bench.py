@@ -121,6 +121,10 @@ def main():
     # while jit compilation is excluded via warm-up reps (standard accelerator
     # accounting - the compiled program is reusable across factorizations)
     tree = hsolve.nested_dissection(shape, leafmax=args.leafmax)
+    # warm the planner code paths (numpy/ctypes dispatch caches) on a tiny problem,
+    # mirroring how rep 0 warms the device programs
+    _Aw, _, _sw = hsolve.poisson2d(8)
+    plan_factorization(_Aw, hsolve.nested_dissection(_sw, leafmax=16), opts)
     t0 = time.perf_counter()
     plan = plan_factorization(A, tree, opts)
     t_plan = time.perf_counter() - t0

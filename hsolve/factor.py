@@ -254,7 +254,7 @@ def build_front_vals(bp: BatchPlan, vals: Optional[jax.Array],
     B, m = bp.B, bp.m_pad
     flat = jnp.zeros((B * m * m,), dtype=vals.dtype)
     if pos is not None and pos.shape[0]:
-        flat = flat.at[pos].set(vals, indices_are_sorted=True, unique_indices=True,
+        flat = flat.at[pos].set(vals, unique_indices=True,
                                 mode="promise_in_bounds")
     return flat.reshape(B, m, m)
 

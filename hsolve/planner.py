@@ -411,44 +411,61 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
 
         front_pos, front_vals = run_coo_pooled(gather, pool, *_specs_from(parts))
 
-        for b, node in enumerate(nodes):
-            node = int(node)
-            ints = tree.int_idx[node]
-            bnds = tree.bnd_idx[node]
-            k_i, k_b = len(ints), len(bnds)
-            int_ids[b, :k_i] = ints
-            bnd_ids[b, :k_b] = bnds
-            if k_b:
-                sperm[b, :k_b] = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
+        # vectorized per-batch fills (host symbolic time is part of the north-star
+        # setup metric; per-node python loops dominated it at scale)
+        cols_i = np.arange(ni_pad, dtype=np.int64)
+        poolx = np.concatenate([pool, [N]])
+        gi = np.minimum(o_int[:, None] + cols_i[None, :], len(pool))
+        int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
+        if nb_pad:
+            cols_b = np.arange(nb_pad, dtype=np.int64)
+            gb = np.minimum(o_bnd[:, None] + cols_b[None, :], len(pool))
+            bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
+            # sperm rows are [int_loc; bnd_loc] per node
+            lpool = np.concatenate(
+                [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
+                or [np.zeros(0, dtype=np.int64)])
+            l1 = np.array([len(loc.int_loc[nd]) for nd in nodes], dtype=np.int64)
+            l2 = np.array([len(loc.bnd_loc[nd]) for nd in nodes], dtype=np.int64)
+            lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
+            lpx = np.concatenate([lpool, [0]])
+            gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
+            sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
+                                   sperm[:B0n])
 
-            if not is_leaf_batch:
-                # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted,
-                # so placements are two contiguous runs)
-                map_l[b, : ni1[b]] = np.arange(ni1[b])
-                map_l[b, ni_pad: ni_pad + nb1[b]] = ni1[b] + np.arange(nb1[b])
-                map_r[b, ni1[b]: ni1[b] + ni2[b]] = np.arange(ni2[b])
-                map_r[b, ni_pad + nb1[b]: ni_pad + nb1[b] + nb2[b]] = \
-                    ni2[b] + np.arange(nb2[b])
-
+        if not is_leaf_batch:
+            # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
+            # placements are two contiguous runs per child)
+            cols_m = np.arange(m_pad, dtype=np.int64)[None, :]
+            in_i1 = cols_m < ni1[:, None]
+            in_i2 = (cols_m >= ni1[:, None]) & (cols_m < (ni1 + ni2)[:, None])
+            in_b1 = (cols_m >= ni_pad) & (cols_m < (ni_pad + nb1)[:, None])
+            in_b2 = ((cols_m >= (ni_pad + nb1)[:, None])
+                     & (cols_m < (ni_pad + nb1 + nb2)[:, None]))
+            map_l[:B0n] = np.where(in_i1, cols_m,
+                                   np.where(in_b1, ni1[:, None] + cols_m - ni_pad, -1))
+            map_r[:B0n] = np.where(in_i2, cols_m - ni1[:, None],
+                                   np.where(in_b2, ni2[:, None] + cols_m
+                                            - ni_pad - nb1[:, None], -1))
+            for b, node in enumerate(nodes):
                 l, r = int(tree.left[node]), int(tree.right[node])
                 sb_l, sr_l = s_loc[l]
                 groups_l.setdefault(sb_l, []).append((sr_l, b))
                 sb_r, sr_r = s_loc[r]
                 groups_r.setdefault(sb_r, []).append((sr_r, b))
 
-            # identity on the padded part of the pivot block keeps the batched LU
-            # well-defined (the padded rows/cols stay decoupled)
-            pad_diag = np.arange(k_i, ni_pad)
-            ident_pos.append(b * m_pad * m_pad + pad_diag * (m_pad + 1))
-            s_loc[node] = (bidx, b)
+        # identity on the padded part of the pivot block keeps the batched LU
+        # well-defined (the padded rows/cols stay decoupled)
+        pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
+            + cols_i[None, :] * (m_pad + 1)
+        ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
+        for b, node in enumerate(nodes):
+            s_loc[int(node)] = (bidx, b)
         if ident_pos:
-            ip = np.concatenate(ident_pos)
+            ip = np.concatenate(ident_pos).ravel()
             front_pos = np.concatenate([front_pos, ip])
             front_vals = np.concatenate([front_vals,
                                          np.ones(len(ip), dtype=front_vals.dtype)])
-        order_ix = np.argsort(front_pos, kind="stable")
-        front_pos = front_pos[order_ix]
-        front_vals = front_vals[order_ix]
 
         def _mk_groups(gd: Dict[int, List[Tuple[int, int]]]) -> Tuple[ChildGroup, ...]:
             out = []

@@ -54,9 +54,13 @@ class NDTree:
         """New list containers sharing the per-node index arrays.  Sufficient for
         the planner: :func:`symfact` and :func:`permuted` only *reassign* list
         entries (new arrays), never mutate the shared arrays in place."""
-        return NDTree(left=self.left.copy(), right=self.right.copy(),
-                      int_idx=list(self.int_idx), bnd_idx=list(self.bnd_idx),
-                      root=self.root)
+        out = NDTree(left=self.left.copy(), right=self.right.copy(),
+                     int_idx=list(self.int_idx), bnd_idx=list(self.bnd_idx),
+                     root=self.root)
+        cached = getattr(self, "_topo_cache", None)
+        if cached is not None:  # topology is shared and immutable
+            object.__setattr__(out, "_topo_cache", cached)
+        return out
 
     def is_leaf(self, i: int) -> bool:
         return self.left[i] == NONE and self.right[i] == NONE
@@ -146,15 +150,6 @@ class LocTree:
     bnd_loc: List[np.ndarray]
 
 
-def _positions_in(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
-    """Positions k (ascending) with haystack[k] in needles.
-    Parity with ``findall(in(needles), haystack)`` (nesteddissection.jl:42-43)."""
-    if len(haystack) == 0 or len(needles) == 0:
-        return np.empty(0, dtype=np.int64)
-    mask = np.isin(haystack, needles, assume_unique=False)
-    return np.flatnonzero(mask).astype(np.int64)
-
-
 def symfact(tree: NDTree) -> LocTree:
     """Symbolic factorization (parity with ``symfact!``, nesteddissection.jl:29-69).
 
@@ -165,40 +160,74 @@ def symfact(tree: NDTree) -> LocTree:
     - ``bnd_loc[child]`` = positions within ``child.bnd`` of DOFs in ``parent.bnd``,
     - ``parent.int = [left.bnd[int_loc_l]; right.bnd[int_loc_r]]`` and likewise for bnd,
     - root: ``int_loc = 0..len(root.bnd)`` , ``bnd_loc = []`` (nesteddissection.jl:31-32).
+
+    Level-vectorized: every DOF's eliminating node is fixed by the *input* tree, so
+    a child-bnd DOF belongs to the parent's int iff ``elim[dof] == parent``
+    (the invariant ``child.bnd subset-of parent.int + parent.bnd`` makes the complement
+    exactly the parent-bnd part).  All branches at one height are then processed with a
+    handful of pooled numpy ops instead of per-node membership queries (the reference's
+    ``findall(in(...))`` per node, nesteddissection.jl:42-43).
     """
     n = tree.nnodes
     loc = LocTree([np.empty(0, np.int64) for _ in range(n)],
                   [np.empty(0, np.int64) for _ in range(n)])
-    # one shared mark array (1 = parent int, 2 = parent bnd) makes each membership
-    # query O(|set|) instead of np.isin's sort-based O(|set| log |set|) - symfact is
-    # the symbolic-phase hot spot (SURVEY.md section 3.4)
-    nmax = 0
-    for i in range(n):
-        if len(tree.int_idx[i]):
-            nmax = max(nmax, int(tree.int_idx[i].max()))
-        if len(tree.bnd_idx[i]):
-            nmax = max(nmax, int(tree.bnd_idx[i].max()))
-    code = np.zeros(nmax + 2, dtype=np.int8)
-    for i in tree.topo_order():
-        if tree.is_leaf(i):
+    order = tree.topo_order()
+    # eliminating node of every DOF (from the input int sets, which partition the
+    # eliminated DOFs); root-bnd DOFs keep sentinel -1 (eliminated at "the root solve")
+    ipool = np.concatenate([tree.int_idx[i] for i in range(n)] or
+                           [np.empty(0, np.int64)])
+    rb = tree.bnd_idx[tree.root]
+    nmax = max(int(ipool.max()) if len(ipool) else -1,
+               int(rb.max()) if len(rb) else -1)
+    elim = np.full(nmax + 1, -1, dtype=np.int64)
+    elim[ipool] = np.repeat(np.arange(n, dtype=np.int64),
+                            [len(tree.int_idx[i]) for i in range(n)])
+
+    # group branches by height so children are final before parents are assembled
+    height = np.zeros(n, dtype=np.int64)
+    for i in order:
+        l, r = tree.left[i], tree.right[i]
+        if l != NONE:
+            height[i] = 1 + max(height[l], height[r])
+    max_h = int(height[tree.root]) if n else 0
+    by_h: List[List[int]] = [[] for _ in range(max_h + 1)]
+    for i in order:
+        if tree.left[i] != NONE:
+            by_h[height[i]].append(i)
+
+    for h in range(1, max_h + 1):
+        parents = by_h[h]
+        if not parents:
             continue
-        l, r = int(tree.left[i]), int(tree.right[i])
-        code[tree.int_idx[i]] = 1
-        code[tree.bnd_idx[i]] = 2
-        cl = code[tree.bnd_idx[l]]
-        cr = code[tree.bnd_idx[r]]
-        int_l = np.flatnonzero(cl == 1)
-        bnd_l = np.flatnonzero(cl == 2)
-        int_r = np.flatnonzero(cr == 1)
-        bnd_r = np.flatnonzero(cr == 2)
-        code[tree.int_idx[i]] = 0
-        code[tree.bnd_idx[i]] = 0
-        loc.int_loc[l] = int_l
-        loc.bnd_loc[l] = bnd_l
-        loc.int_loc[r] = int_r
-        loc.bnd_loc[r] = bnd_r
-        tree.int_idx[i] = np.concatenate([tree.bnd_idx[l][int_l], tree.bnd_idx[r][int_r]])
-        tree.bnd_idx[i] = np.concatenate([tree.bnd_idx[l][bnd_l], tree.bnd_idx[r][bnd_r]])
+        # child pool, ordered [l(p0), r(p0), l(p1), r(p1), ...]
+        kids = np.empty(2 * len(parents), dtype=np.int64)
+        kids[0::2] = tree.left[parents]
+        kids[1::2] = tree.right[parents]
+        segs = [tree.bnd_idx[c] for c in kids]
+        seg_len = np.array([len(s) for s in segs], dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(seg_len)])
+        pool = np.concatenate(segs) if len(segs) else np.empty(0, np.int64)
+        owner = np.repeat(np.asarray(parents, dtype=np.int64), 2)
+        seg_of = np.repeat(np.arange(len(kids)), seg_len)
+        m = elim[pool] == owner[seg_of]                     # in parent's int?
+        pos = np.arange(len(pool), dtype=np.int64) - off[seg_of]
+        ipos = pos[m]
+        bpos = pos[~m]
+        ivals = pool[m]
+        bvals = pool[~m]
+        # per-segment split points within the masked selections
+        icnt = np.zeros(len(kids), dtype=np.int64)
+        np.add.at(icnt, seg_of[m], 1)
+        ioff = np.concatenate([[0], np.cumsum(icnt)])
+        bcnt = seg_len - icnt
+        boff = np.concatenate([[0], np.cumsum(bcnt)])
+        for k, c in enumerate(kids):
+            loc.int_loc[c] = ipos[ioff[k]: ioff[k + 1]]
+            loc.bnd_loc[c] = bpos[boff[k]: boff[k + 1]]
+        for k, p in enumerate(parents):
+            tree.int_idx[p] = ivals[ioff[2 * k]: ioff[2 * k + 2]]
+            tree.bnd_idx[p] = bvals[boff[2 * k]: boff[2 * k + 2]]
+
     root = tree.root
     loc.int_loc[root] = np.arange(len(tree.bnd_idx[root]), dtype=np.int64)
     loc.bnd_loc[root] = np.empty(0, np.int64)

@@ -129,14 +129,41 @@ class Factorization:
 
     def maxrank(self) -> int:
         """Max compression rank across the factorization (parity with ``maxrank``,
-        factornode.jl:49-57); 0 on the dense path."""
+        factornode.jl:49-57); 0 on the dense path.  Structured levels report the
+        *computed* interpolation rank (capped at the planned cap), not the static
+        factor width.  Performs a (small) device->host fetch."""
         r = 0
         for lev in self.levels:
             if isinstance(lev, CompressedLevel):
                 r = max(r, int(jnp.max(lev.lrank)), int(jnp.max(lev.rrank)))
             elif type(lev).__name__ == "StructuredLevel":
-                r = max(r, lev.LU_.shape[-1])
+                if lev.rank_maxed is not None:
+                    r = max(r, min(int(jnp.max(lev.rank_maxed)), lev.rank_cap))
+                else:
+                    r = max(r, lev.LU_.shape[-1])
         return r
+
+    def rank_report(self) -> dict:
+        """Per-level compression-rank diagnostics: planned cap, computed max rank, and
+        whether any node *saturated* its cap (the randomized compression may then have
+        silently truncated - the condition ``randcompress_adaptive`` grows its sample
+        budget on, factorization.jl:110).  Performs a small device->host fetch."""
+        out = {"levels": [], "saturated": False}
+        for i, lev in enumerate(self.levels):
+            if isinstance(lev, CompressedLevel):
+                mr = max(int(jnp.max(lev.lrank)), int(jnp.max(lev.rrank)))
+                cap = lev.LU_.shape[-1]
+            elif type(lev).__name__ == "StructuredLevel" \
+                    and lev.rank_maxed is not None:
+                mr = int(jnp.max(lev.rank_maxed))
+                cap = lev.rank_cap
+            else:
+                continue
+            sat = mr >= cap
+            out["levels"].append({"level": i, "max_rank": mr, "cap": cap,
+                                  "saturated": sat})
+            out["saturated"] = out["saturated"] or sat
+        return out
 
     @property
     def solve_data(self):
@@ -276,11 +303,17 @@ def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
     into one [B, s_pad, s_pad] staging buffer.  HSS children are densified (fallback
     for parents outside the structured path)."""
     from hsolve.structured import SchurHss, densify_schur
+    from hsolve.utils.logging import logger
 
     stage = jnp.zeros((B, s_pad, s_pad), dtype=dtype)
     for g in groups:
         src = s_stacks[g.src_batch]
         if isinstance(src, SchurHss):
+            logger.warning(
+                "densifying %d HSS child Schur complement(s) from batch %d "
+                "(size %d): the parent batch fell off the structured path, so "
+                "quasilinear assembly degrades to O(n^2) for these nodes",
+                len(g.src_rows), g.src_batch, s_pad)
             sel = jax.tree_util.tree_map(lambda a: a[g.src_rows], src)
             dense = densify_schur(sel, s_pad)
             stage = stage.at[g.dst_rows].set(dense)
@@ -299,21 +332,38 @@ def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
 
 
 def _gather_schur(groups, s_stacks, B: int):
-    """Select child SchurHss rows for a structured batch (single source batch)."""
+    """Select child SchurHss rows for a structured batch.  Children may live in
+    several source batches as long as all sources share one cluster plan (the planner
+    only marks a batch structured under that condition); the per-group gathers are
+    merged with masked selects."""
     from hsolve.structured import SchurHss
 
-    assert len(groups) == 1, "structured batch requires a single child source"
-    g = groups[0]
-    src = s_stacks[g.src_batch]
-    assert isinstance(src, SchurHss)
-    src_for_dst = np.zeros(B, dtype=np.int64)
-    src_for_dst[g.dst_rows] = g.src_rows
-    idx = jnp.asarray(src_for_dst)
-    out = jax.tree_util.tree_map(lambda a: a[idx], src)
-    # dummy rows must stay decoupled: zero their content sizes
-    mask = np.zeros(B, dtype=bool)
-    mask[g.dst_rows] = True
-    mj = jnp.asarray(mask)
+    assert groups, "structured batch requires child sources"
+    out = None
+    covered = np.zeros(B, dtype=bool)
+    for g in groups:
+        src = s_stacks[g.src_batch]
+        assert isinstance(src, SchurHss), \
+            "structured batch fed by a non-HSS source (planner invariant)"
+        src_for_dst = np.zeros(B, dtype=np.int64)
+        src_for_dst[g.dst_rows] = g.src_rows
+        idx = jnp.asarray(src_for_dst)
+        sel = jax.tree_util.tree_map(lambda a: a[idx], src)
+        mask = np.zeros(B, dtype=bool)
+        mask[g.dst_rows] = True
+        covered |= mask
+        if out is None:
+            out = sel
+            continue
+        mj = jnp.asarray(mask)
+
+        def pick(new, old):
+            mjb = mj.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(mjb, new, old)
+
+        out = jax.tree_util.tree_map(pick, sel, out)
+    # dummy / uncovered rows must stay decoupled: zero their content sizes
+    mj = jnp.asarray(covered)
     out.n1 = jnp.where(mj, out.n1, 0)
     out.n2 = jnp.where(mj, out.n2, 0)
     return out
@@ -408,6 +458,16 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
         dtype = jnp.asarray(plan.A_perm.data[:1]).dtype
     if fuse is None:
         fuse = True
+    opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())
+    if opts.verbose:
+        from hsolve.utils.logging import logger
+
+        for i, bp in enumerate(plan.batches):
+            logger.info(
+                "batch %d: B=%d ni_pad=%d nb_pad=%d %s%s%snnz=%d", i, bp.B,
+                bp.ni_pad, bp.nb_pad, "leaf " if bp.is_leaf else "",
+                "compressed " if bp.compress else "",
+                "structured " if bp.structured else "", len(bp.front_pos))
 
     with _precision_ctx(opts):
         if fuse:
@@ -595,6 +655,7 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array], opts=None):
     dtype = fronts[0].dtype
     if opts is None:
         opts = plan.opts or SolverOptions()
+    opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())
     for bidx, bp in enumerate(plan.batches):
         if bp.structured:
             lev, S = _run_structured(bp, s_stacks, opts, dtype, bidx)
@@ -626,9 +687,30 @@ def factor(A: sp.spmatrix, tree: NDTree, opts: Optional[SolverOptions] = None,
     """Top-level entry (parity with ``factor(A, nd, nd_loc, opts; args...)``,
     factorization.jl:5-11).  The symbolic phase (``symfact`` + permutation) runs inside
     the planner, so only (A, tree) are needed.  Pass ``mesh`` (see
-    hsolve.parallel.dist.make_mesh) to shard the factorization across devices."""
+    hsolve.parallel.dist.make_mesh) to shard the factorization across devices.
+
+    With ``opts.adaptive`` the computed compression ranks are checked against the
+    planned caps after the numeric phase; on saturation the problem is re-planned with
+    doubled caps and re-factored (host-loop parity with ``randcompress_adaptive``'s
+    sample-budget growth, factorization.jl:110)."""
     opts = (opts or SolverOptions()).replace(**overrides)
     opts.validate()
     batch_multiple = int(mesh.shape["tree"]) if mesh is not None else 1
-    plan = plan_factorization(A, tree, opts, batch_multiple=batch_multiple)
-    return factor_with_plan(plan, opts, dtype=dtype, mesh=mesh)
+    for attempt in range(3):
+        plan = plan_factorization(A, tree, opts, batch_multiple=batch_multiple)
+        F = factor_with_plan(plan, opts, dtype=dtype, mesh=mesh)
+        if not opts.adaptive:
+            return F
+        report = F.rank_report()
+        if not report["saturated"]:
+            return F
+        from hsolve.utils.logging import logger
+
+        new_cap = 2 * max(lv["cap"] for lv in report["levels"] if lv["saturated"])
+        logger.warning(
+            "compression rank saturated the planned cap on %d level(s) "
+            "(report: %s); re-planning with rank_cap=%d (attempt %d)",
+            sum(lv["saturated"] for lv in report["levels"]), report["levels"],
+            new_cap, attempt + 1)
+        opts = opts.replace(rank_cap=new_cap)
+    return F

@@ -481,11 +481,15 @@ def hss_randcompress(ops: SampleOps, plan: ClusterPlan, key, atol: float, rtol: 
 
 def hss_randcompress_batched(sample: Callable, blocks: Callable, operands, plan, key,
                              atol: float, rtol: float, cap: int, kest: int = -1,
-                             stepsize: int = 16, max_tries: int = 3) -> Hss:
+                             stepsize: int = 16, max_tries: int = 3):
     """Batched adaptive randomized construction: ``operands`` is a pytree with leading
     batch dim B; ``sample(op_slice, X, adjoint)`` / ``blocks(op_slice, rows, cols)``
-    receive one un-batched slice.  Returns an Hss whose arrays carry a leading B axis
-    (use with vmapped hss_* ops)."""
+    receive one un-batched slice.  Returns ``(Hss, maxed [B])`` where the Hss arrays
+    carry a leading B axis (use with vmapped hss_* ops) and ``maxed`` is each node's
+    largest interpolation rank - ``maxed >= cap`` flags rank saturation (the event
+    the reference's ``randcompress_adaptive`` growth loop reacts to,
+    factorization.jl:110); callers surface it for the host-side replan-with-larger-cap
+    loop (hsolve.factor.factor with adaptive=True)."""
     from functools import partial
 
     # sample once with s >= cap + slack: interpolation ranks are capped at ``cap``
@@ -502,8 +506,8 @@ def hss_randcompress_batched(sample: Callable, blocks: Callable, operands, plan,
         ops = SampleOps(sample=partial(sample, op), blocks=partial(blocks, op))
         return _hss_randcompress_once(ops, plan, k, s_eff, atol, rtol, cap)
 
-    h, _ = jax.vmap(once)(operands, keys)
-    return h
+    h, maxed = jax.vmap(once)(operands, keys)
+    return h, maxed
 
 
 # ---------------------------------------------------------------------------

@@ -53,9 +53,12 @@ def svd_small(W: jax.Array):
     XLA:TPU's direct SVD lowering crashes this environment's compiler
     (``Check failed: buffer != nullptr`` during HLO optimization), so on TPU the
     factorization is computed from the Gram matrix via ``eigh`` (which lowers fine).
-    Gram squaring halves the attainable accuracy for the smallest singular values -
-    irrelevant for tolerance truncation at compression tolerances, which is the only
-    use here; exact-parity paths run f64 on CPU where ``jnp.linalg.svd`` is used.
+    Gram squaring limits resolvable singular values to ~sqrt(eps)*sigma_0, so
+    truncation thresholds below that keep noise ranks - callers must clamp their
+    effective rtol with :func:`gram_rtol_floor`.  Exact-parity paths run f64 on CPU
+    where ``jnp.linalg.svd`` is used.  The branch keys off the process-default
+    backend (inside jit the operand is a tracer with no device; computing on a
+    non-default backend via explicit device placement is not supported here).
     """
     if jax.default_backend() != "tpu":
         return jnp.linalg.svd(W, full_matrices=False)
@@ -81,9 +84,20 @@ def svd_small(W: jax.Array):
     return U, sv, jnp.swapaxes(V, -1, -2).conj()
 
 
+def gram_rtol_floor(dtype) -> float:
+    """Smallest trustworthy relative truncation threshold when singular values come
+    from the Gram-matrix ``eigh`` workaround (squaring limits them to
+    ~sqrt(eps)*sigma_0); 0 where the direct SVD is used."""
+    if jax.default_backend() != "tpu":
+        return 0.0
+    return float(jnp.sqrt(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps))
+
+
 def _rank_mask(s: jax.Array, atol: float, rtol: float, cap: int):
-    """Rank from singular values: keep sigma_i > max(atol, rtol*sigma_0), capped."""
+    """Rank from singular values: keep sigma_i > max(atol, rtol*sigma_0), capped.
+    ``rtol`` is clamped to the Gram-eigh trust floor (see :func:`gram_rtol_floor`)."""
     s0 = s[..., :1]
+    rtol = jnp.maximum(rtol, gram_rtol_floor(s.dtype))
     keep = s > jnp.maximum(atol, rtol * s0)
     rank = jnp.minimum(jnp.sum(keep, axis=-1), cap)
     mask = (jnp.arange(s.shape[-1]) < rank[..., None]).astype(s.dtype)

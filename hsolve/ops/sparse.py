@@ -80,7 +80,9 @@ def to_dia(A: sp.spmatrix, dtype=None, max_diags: int = 64):
         return None
     coo = A.tocoo()
     offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
-    if len(offs) > max_diags:
+    if len(offs) > max_diags or len(offs) == 0:
+        # an all-zero matrix has no populated diagonals; dia_matvec's offset
+        # reduction would be ill-defined - let the ELL path handle it
         return None
     vals = np.zeros((len(offs), N), dtype=A.dtype if dtype is None else dtype)
     for k, d in enumerate(offs):

@@ -43,11 +43,20 @@ class SolverOptions:
                               # structured extend-add (bnd/int contacts are O(1)-size)
     pallas_lu: bool = False   # use the Pallas blocked-LU kernel for eligible pivot
                               # blocks (float, 256 <= n <= 1024, TPU backend)
-    explicit_inverse: bool = True  # additionally store D^{-1} (and the root inverse)
-                              # so every solve sweep is a GEMM instead of a pair of
-                              # triangular solves (~2.4x faster on TPU, where TRSM is
-                              # a latency-bound blocked loop); trades 2x pivot-block
-                              # memory.  Turn off for memory-bound giant problems.
+    explicit_inverse: Optional[bool] = None  # additionally store D^{-1} (and the root
+                              # inverse) so every solve sweep is a GEMM instead of a
+                              # pair of triangular solves (~2.4x faster on TPU, where
+                              # TRSM is a latency-bound blocked loop); trades 2x
+                              # pivot-block memory and backward stability (forward
+                              # error ~cond(D)*eps per level).  None = auto: on for
+                              # TPU backends, off elsewhere (CPU/f64 runs keep
+                              # reference-parity triangular solves).
+    adaptive: bool = False    # after a compressed factorization, check the computed
+                              # interpolation ranks against the planned caps and
+                              # re-factor with doubled caps on saturation (host-loop
+                              # parity with randcompress_adaptive,
+                              # factorization.jl:110).  Costs one small device->host
+                              # fetch per factorization.
 
     def replace(self, **kwargs) -> "SolverOptions":
         """Kwarg-override copy (parity with ``copy(opts; args...)``,
@@ -68,6 +77,14 @@ class SolverOptions:
             raise ValueError("leafsize must be >= 1")
         if self.pad < 1:
             raise ValueError("pad must be >= 1")
+
+    def resolve_explicit_inverse(self) -> bool:
+        """None = auto: explicit pivot-block inverses only where TRSM latency
+        dominates (TPU); CPU keeps backward-stable triangular solves."""
+        if self.explicit_inverse is None:
+            import jax
+            return jax.default_backend() == "tpu"
+        return self.explicit_inverse
 
     def resolve_swlevel(self, tree_depth: int) -> int:
         """Negative swlevel counts from the bottom: ``max(depth + swlevel, 0)``

@@ -232,10 +232,14 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     A = sp.csr_matrix(A)
     N = A.shape[0]
 
+    tree_in = tree
     tree = tree.shallow_copy()  # symfact/permuted reassign; caller's tree stays valid
     loc = symfact(tree)
     perm = postorder(tree)
     if len(perm) != N or len(np.unique(perm)) != N:
+        # diagnose which structural invariant broke (NDTree.validate raises with the
+        # offending node); run on the caller's untouched tree
+        tree_in.validate()
         raise ValueError(
             "postorder is not a permutation: the tree does not cover every DOF exactly "
             "once (check separator/boundary construction)")
@@ -307,15 +311,32 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             lkids = [int(tree.left[i]) for i in nodes]
             rkids = [int(tree.right[i]) for i in nodes]
             if all(cflag[c] for c in lkids + rkids):
-                lb = {s_loc[c][0] for c in lkids}
-                rb = {s_loc[c][0] for c in rkids}
-                if len(lb) == 1 and len(rb) == 1:
-                    cpl = batches[lb.pop()].cplan
-                    cpr = batches[rb.pop()].cplan
-                    if cpl is not None and cpr is not None \
-                            and cpl.depth >= 2 and cpr.depth >= 2:
-                        structured = True
-                        child_cplans = (cpl, cpr)
+                # children may span several source batches as long as each side's
+                # sources agree on the HSS layout (cluster plan + rank cap), so the
+                # gathered SchurHss stacks are shape-compatible
+                lb = sorted({s_loc[c][0] for c in lkids})
+                rb = sorted({s_loc[c][0] for c in rkids})
+
+                def _common_cplan(src_batches):
+                    cps = [(batches[b].cplan, batches[b].rank_cap)
+                           for b in src_batches]
+                    if any(c is None for c, _ in cps) or len(set(cps)) != 1:
+                        return None
+                    return cps[0][0]
+
+                cpl = _common_cplan(lb)
+                cpr = _common_cplan(rb)
+                if cpl is not None and cpr is not None \
+                        and cpl.depth >= 2 and cpr.depth >= 2:
+                    structured = True
+                    child_cplans = (cpl, cpr)
+                else:
+                    from hsolve.utils.logging import logger
+                    logger.warning(
+                        "compressed batch of %d node(s) at height group %d falls "
+                        "off the structured path (child HSS layouts differ across "
+                        "source batches %s/%s); its HSS children will be densified",
+                        B0, bidx, lb, rb)
 
         if structured:
             bp = _plan_structured_batch(

@@ -123,13 +123,18 @@ class StructuredLevel:
     bnd_ids: jax.Array       # [B, q1+q2]
     h1: int
     h2: int
+    # [B] largest interpolation rank hit across this batch's randomized HSS
+    # compressions; rank_maxed >= rank_cap flags silent-truncation risk (the event
+    # randcompress_adaptive grows its budget on, factorization.jl:110)
+    rank_maxed: Optional[jax.Array] = None
+    rank_cap: int = 0
 
 
 jax.tree_util.register_dataclass(
     StructuredLevel,
     data_fields=["solver1", "solver22", "W", "ci21", "LU_", "LV_", "RU_", "RV_",
-                 "int_ids", "bnd_ids"],
-    meta_fields=["h1", "h2"])
+                 "int_ids", "bnd_ids", "rank_maxed"],
+    meta_fields=["h1", "h2", "rank_cap"])
 
 
 def d_apply(lev: StructuredLevel, x: jax.Array, adjoint: bool = False) -> jax.Array:
@@ -224,7 +229,7 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
         A2, C21, Wn = op
         return hss_entries(A2, rows, cols) - C21[rows, :] @ Wn[:, cols]
 
-    hssS22 = hss_randcompress_batched(
+    hssS22, maxed22 = hss_randcompress_batched(
         s22_sample, s22_blocks, s22_ops, A11_2.plan, jax.random.fold_in(key, 101),
         atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
     solver22 = jax.vmap(hss_factor)(hssS22)
@@ -315,7 +320,9 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
                     & (rows[:, None] == cols[None, :])).astype(val.dtype)
         return jnp.where(valid, val, pad_diag)
 
-    hssS = hss_randcompress_batched(
+    hssS, maxedS = hss_randcompress_batched(
         s_sample, s_blocks, s_ops, cplan, jax.random.fold_in(key, 202),
         atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
+    lev = dataclasses.replace(lev, rank_maxed=jnp.maximum(maxed22, maxedS),
+                              rank_cap=rank_cap)
     return lev, SchurHss(h=hssS, n1=n1, n2=n2)

@@ -42,6 +42,30 @@ def _precond(data, v):
     return solve_with_data(data, v.astype(_FD[0])).astype(v.dtype)
 
 
+def _mv_split(data, v):
+    """Real-equivalent matvec for a complex system: v = [Re x; Im x] (f64), data =
+    (op_real, op_imag).  TPU has no c128; the f64 outer loop runs on the 2N real
+    form while the c64 factorization preconditions it."""
+    import jax.numpy as jnp
+
+    opr, opi = data
+    n = v.shape[0] // 2
+    vr, vi = v[:n], v[n:]
+    yr = _mv(opr, vr) - _mv(opi, vi)
+    yi = _mv(opi, vr) + _mv(opr, vi)
+    return jnp.concatenate([yr, yi])
+
+
+def _precond_split(data, v):
+    import jax.numpy as jnp
+    from hsolve.factor import solve_with_data
+
+    n = v.shape[0] // 2
+    z = (v[:n] + 1j * v[n:]).astype(_FD[0])
+    w = solve_with_data(data, z)
+    return jnp.concatenate([jnp.real(w), jnp.imag(w)]).astype(v.dtype)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="helmholtz2d",
@@ -53,6 +77,8 @@ def main():
     ap.add_argument("--swlevel", type=int, default=0)
     ap.add_argument("--reltol", type=float, default=1e-9)
     ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--damping", type=float, default=0.0,
+                    help="impedance damping for helmholtz2d (complex problem)")
     ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
     args = ap.parse_args()
 
@@ -94,26 +120,25 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
 
-    gen = {"helmholtz2d": lambda: hsolve.helmholtz2d(args.n, k=args.k),
+    gen = {"helmholtz2d": lambda: hsolve.helmholtz2d(args.n, k=args.k,
+                                                     damping=args.damping),
            "poisson2d": lambda: hsolve.poisson2d(args.n),
            "helmholtz3d": lambda: hsolve.helmholtz3d(args.n, k=args.k),
            "poisson3d": lambda: hsolve.poisson3d(args.n)}[args.problem]
     A, b, shape = gen()
     b = np.asarray(b)
-    log(f"{args.problem} n={args.n}: N={A.shape[0]}, nnz={A.nnz}")
-
-    # --- baseline proxy: single-core scipy SuperLU direct solve ---
-    import scipy.sparse.linalg as spla
-
-    t0 = time.perf_counter()
-    lu = spla.splu(A.tocsc())
-    x_ref = lu.solve(b)
-    t_base = time.perf_counter() - t0
-    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core): {t_base:.3f}s")
+    iscomplex = np.iscomplexobj(A.data)
+    log(f"{args.problem} n={args.n}: N={A.shape[0]}, nnz={A.nnz} dtype={A.dtype}")
 
     # --- ours ---
+    # (the scipy SuperLU baseline proxy runs AFTER our reps: its large fill-in
+    # allocations fragment the allocator and inflate subsequent host planning
+    # times by up to 20x at N~260k)
     on_tpu = dev.platform != "cpu"
-    fdtype = jnp.float32 if on_tpu else jnp.float64
+    if iscomplex:
+        fdtype = jnp.complex64 if on_tpu else jnp.complex128
+    else:
+        fdtype = jnp.float32 if on_tpu else jnp.float64
     _FD[0] = fdtype
     opts = hsolve.SolverOptions(swlevel=args.swlevel)
 
@@ -125,6 +150,9 @@ def main():
     # mirroring how rep 0 warms the device programs
     _Aw, _, _sw = hsolve.poisson2d(8)
     plan_factorization(_Aw, hsolve.nested_dissection(_sw, leafmax=16), opts)
+    import gc
+
+    gc.freeze()  # keep gen-2 scans of the jax/module heap out of the hot host loops
     t0 = time.perf_counter()
     plan = plan_factorization(A, tree, opts)
     t_plan = time.perf_counter() - t0
@@ -145,24 +173,41 @@ def main():
         # diagnostics fetch (a multi-ms round-trip on a remote-attached TPU) is
         # done after the timer stops.
         x, info = hsolve.gmres_compiled(
-            _mv, _precond, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
-            mv_data=op64, M_data=F.solve_data,
-            inner_dtype="float32" if on_tpu else None,
-            mv_data_inner=op32 if on_tpu else None,
+            mv_fn, m_fn, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
+            mv_data=op_outer, M_data=F.solve_data,
+            inner_dtype=idtype if on_tpu else None,
+            mv_data_inner=op_inner if on_tpu else None,
             m_eps=1e-6 if on_tpu else 0.0,  # f32 trust floor for Givens estimates
             fetch_info=False)
         jax.block_until_ready(x)
         t_solve = time.perf_counter() - t0
         return t_setup, t_solve, x, info
 
-    gdtype = jnp.float64  # GMRES outer accumulation in f64 for the 1e-9 target
-    op64, _ = hsolve.spmv_format(A, dtype=np.float64)  # DIA for stencils, else ELL
-    op32, _ = hsolve.spmv_format(A, dtype=np.float32)
-    # the matrix is already on device for the factorization; putting the matvec
-    # operands there once is part of setup, not of every solve
-    op64 = jax.device_put(op64)
-    op32 = jax.device_put(op32)
-    bj = jnp.asarray(b, dtype=gdtype)
+    import scipy.sparse as sp_
+
+    if iscomplex and on_tpu:
+        # no c128 on TPU: run the outer loop on the real-equivalent 2N f64 system
+        # [[Ar, -Ai],[Ai, Ar]], preconditioned by the c64 factorization
+        Ar = sp_.csr_matrix((A.data.real, A.indices, A.indptr), shape=A.shape)
+        Ai = sp_.csr_matrix((A.data.imag, A.indices, A.indptr), shape=A.shape)
+        op_outer = jax.device_put(tuple(hsolve.spmv_format(M_, dtype=np.float64)[0]
+                                        for M_ in (Ar, Ai)))
+        op_inner = jax.device_put(tuple(hsolve.spmv_format(M_, dtype=np.float32)[0]
+                                        for M_ in (Ar, Ai)))
+        bj = jnp.concatenate([jnp.asarray(b.real, jnp.float64),
+                              jnp.asarray(b.imag, jnp.float64)])
+        mv_fn, m_fn, idtype = _mv_split, _precond_split, "float32"
+    else:
+        gdtype = jnp.complex128 if iscomplex else jnp.float64  # f64 outer for 1e-9
+        half = jnp.complex64 if iscomplex else jnp.float32
+        op_outer, _ = hsolve.spmv_format(A, dtype=np.dtype(gdtype))
+        op_inner, _ = hsolve.spmv_format(A, dtype=np.dtype(half))
+        # the matrix is already on device for the factorization; putting the matvec
+        # operands there once is part of setup, not of every solve
+        op_outer = jax.device_put(op_outer)
+        op_inner = jax.device_put(op_inner)
+        bj = jnp.asarray(b, dtype=gdtype)
+        mv_fn, m_fn, idtype = _mv, _precond, np.dtype(half).name
 
     # run all timed reps BEFORE any device->host data fetch: on the axon-tunneled
     # TPU the first fetch permanently switches the session into a synchronous mode
@@ -171,10 +216,25 @@ def main():
     for rep in range(args.reps):
         reps_out.append(run_once())
 
+    # --- baseline proxy: single-core scipy SuperLU direct solve (after our reps:
+    # see the allocator-fragmentation note above) ---
+    import scipy.sparse.linalg as spla
+
+    t0 = time.perf_counter()
+    lu = spla.splu(A.tocsc())
+    lu.solve(b)
+    t_base = time.perf_counter() - t0
+    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core): {t_base:.3f}s")
+
     best_total, best = None, None
     for rep, (t_setup, t_solve, x, dinfo) in enumerate(reps_out):
         info = hsolve.fetch_gmres_info(dinfo)
-        res = float(np.linalg.norm(A @ np.asarray(x, dtype=np.float64) - b)
+        xh = np.asarray(x)
+        if iscomplex and on_tpu:
+            n_ = A.shape[0]
+            xh = xh[:n_] + 1j * xh[n_:]
+        res = float(np.linalg.norm(A @ xh.astype(np.complex128 if iscomplex
+                                                 else np.float64) - b)
                     / np.linalg.norm(b))
         total = t_setup + t_solve
         log(f"rep {rep}: setup={t_setup:.3f}s solve={t_solve:.3f}s "
@@ -189,8 +249,9 @@ def main():
                                f32=on_tpu)
     log("roofline: " + json.dumps({k: v for k, v in roofline.items()
                                    if k != "per_level"}))
+    tag = f"_damp{args.damping:g}" if args.damping else ""
     result = {
-        "metric": f"{args.problem}_h{args.n}_setup_plus_gmres_solve",
+        "metric": f"{args.problem}_h{args.n}{tag}_setup_plus_gmres_solve",
         "value": round(best_total, 4),
         "unit": "seconds",
         "vs_baseline": round(t_base / best_total, 3),

@@ -490,20 +490,35 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                         zip(np.cumsum([0] + lens)[:-1], lens))
                 pos_list = cache["pos"]
                 spans = cache["spans"]
-                vals_flat = jnp.asarray(np.concatenate(
+                vals_np = np.concatenate(
                     [np.asarray(bp.front_vals, dtype=dtype)
-                     for bp in plan.batches]) if spans else
-                    np.zeros((0,), dtype=np.dtype(dtype)))
+                     for bp in plan.batches]) if spans else \
+                    np.zeros((0,), dtype=np.dtype(dtype))
+                iscx = np.issubdtype(np.dtype(dtype), np.complexfloating)
+                if iscx:
+                    # complex buffers cannot cross the host<->device link on the
+                    # axon transport: ship [2, nnz] real halves, combine on device
+                    rdt = np.zeros((), dtype=np.dtype(dtype)).real.dtype
+                    vals_flat = jnp.asarray(
+                        np.stack([vals_np.real, vals_np.imag]).astype(rdt))
+                else:
+                    vals_flat = jnp.asarray(vals_np)
                 # the jitted closure bakes in the full opts (tolerances, seed, ...) -
                 # key on all of them so a re-factorization with different options
                 # never reuses a stale program
                 key = (str(dtype), "vals", dataclasses.astuple(opts))
                 if key not in cache:
-                    cache[key] = jax.jit(lambda vf, ps: traced_numeric_phase(
-                        plan, [build_front_vals(bp, jax.lax.slice(vf, (o,), (o + n,)),
-                                                p)
-                               for bp, (o, n), p in zip(plan.batches, spans, ps)],
-                        opts))
+                    def _run(vf, ps):
+                        if iscx:
+                            vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                        return traced_numeric_phase(
+                            plan,
+                            [build_front_vals(bp,
+                                              jax.lax.slice(vf, (o,), (o + n,)), p)
+                             for bp, (o, n), p in zip(plan.batches, spans, ps)],
+                            opts)
+
+                    cache[key] = jax.jit(_run)
                 levels, root = cache[key](vals_flat, pos_list)
                 return Factorization(N=plan.N, perm=plan.perm, levels=levels,
                                      root=root, opts=opts, plan=plan)

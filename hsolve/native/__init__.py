@@ -240,8 +240,15 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
     # every pool segment appears as block rows at most twice in the planner's
     # front layout (int rows of [ii, ib]; bnd rows of [bi, bb]; same for branches)
     bound = 2 * int(np.sum(counts[pool])) if len(pool) else 0
-    pos = np.empty(max(bound, 1), dtype=np.int64)
-    val = np.empty(max(bound, 1), dtype=dt)
+    # reuse one geometrically-grown workspace per gather context: the bound
+    # over-allocates ~2x, and fresh 100MB+ mmap'd buffers per batch made the
+    # planner page-fault-bound at large N
+    ws = getattr(g, "_coo_ws", None)
+    if ws is None or len(ws[0]) < bound or ws[1].dtype != dt:
+        cap_n = max(int(bound * 1.25), 1)
+        ws = (np.empty(cap_n, dtype=np.int64), np.empty(cap_n, dtype=dt))
+        g._coo_ws = ws
+    pos, val = ws
     fn = _lib.csr_gather_coo_pooled_c128 if g.iscomplex else \
         _lib.csr_gather_coo_pooled_f64
     n = fn(g.indptr, g.indices, g.data, pool, args[0], args[1], args[2], args[3],

@@ -90,7 +90,9 @@ def gram_rtol_floor(dtype) -> float:
     ~sqrt(eps)*sigma_0); 0 where the direct SVD is used."""
     if jax.default_backend() != "tpu":
         return 0.0
-    return float(jnp.sqrt(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps))
+    import numpy as np
+
+    return float(np.sqrt(np.finfo(np.zeros((), dtype).real.dtype).eps))
 
 
 def _rank_mask(s: jax.Array, atol: float, rtol: float, cap: int):

@@ -113,6 +113,7 @@ class StructuredLevel:
 
     solver1: HssSolver       # child-1 interior HSS solver (batched)
     solver22: HssSolver      # inner Schur complement solver (batched)
+    H2: Hss                  # child-2 interior HSS (exact S22' operand, batched)
     W: jax.Array             # [B, h1, h2] = H1^{-1} C12
     ci21: jax.Array          # [B, h2, h1]
     LU_: jax.Array           # [B, q1+q2, kk]
@@ -132,29 +133,46 @@ class StructuredLevel:
 
 jax.tree_util.register_dataclass(
     StructuredLevel,
-    data_fields=["solver1", "solver22", "W", "ci21", "LU_", "LV_", "RU_", "RV_",
-                 "int_ids", "bnd_ids", "rank_maxed"],
+    data_fields=["solver1", "solver22", "H2", "W", "ci21", "LU_", "LV_", "RU_",
+                 "RV_", "int_ids", "bnd_ids", "rank_maxed"],
     meta_fields=["h1", "h2", "rank_cap"])
 
 
 def d_apply(lev: StructuredLevel, x: jax.Array, adjoint: bool = False) -> jax.Array:
     """Pivot-block solve D^{-1} x (or D^{-T} x) for x [B, h1+h2, k]: block substitution
-    with the two HSS solvers (parity with ``blockldiv!``, blockmatrix.jl:135-144)."""
+    with the two HSS solvers (parity with ``blockldiv!``, blockmatrix.jl:135-144).
+
+    The inner Schur solve is sharpened by one step of iterative refinement against
+    the *exact* operator ``S22' = H2 - C21 H1^{-1} C12`` (available matrix-free from
+    the stored factors): the sampled-HSS approximation of S22' carries the user's
+    compression tolerance, and inverting it without refinement amplifies error by
+    sigma_0/sigma_min - catastrophic on indefinite (wave) pivot blocks where S22'
+    has small singular values.  Refinement squares the effective solve accuracy for
+    one extra HSS matvec + solve."""
     h1 = lev.h1
     x1, x2 = x[:, :h1], x[:, h1:]
+
+    def s22_mv(y, adj=False):
+        if not adj:
+            return jax.vmap(hss_matvec)(lev.H2, y) - lev.ci21 @ (lev.W @ y)
+        return jax.vmap(partial(hss_matvec, adjoint=True))(lev.H2, y) \
+            - jnp.swapaxes(lev.W, -1, -2) @ (jnp.swapaxes(lev.ci21, -1, -2) @ y)
 
     if not adjoint:
         y1 = jax.vmap(hss_solve)(lev.solver1, x1)
         t = x2 - lev.ci21 @ y1
         y2 = jax.vmap(hss_solve)(lev.solver22, t)
+        y2 = y2 + jax.vmap(hss_solve)(lev.solver22, t - s22_mv(y2))
         y1 = y1 - lev.W @ y2
     else:
         # D^T = [[H1^T, C21^T],[C12^T, H2'^T]] with W = H1^{-1} C12
-        y1 = jax.vmap(partial(hss_solve, adjoint=True))(lev.solver1, x1)
+        solve1T = jax.vmap(partial(hss_solve, adjoint=True))
+        solve22T = jax.vmap(partial(hss_solve, adjoint=True))
+        y1 = solve1T(lev.solver1, x1)
         t = x2 - jnp.swapaxes(lev.W, -1, -2) @ x1  # C12^T H1^{-T} x1 = W^T x1
-        y2 = jax.vmap(partial(hss_solve, adjoint=True))(lev.solver22, t)
-        y1 = y1 - jax.vmap(partial(hss_solve, adjoint=True))(
-            lev.solver1, jnp.swapaxes(lev.ci21, -1, -2) @ y2)
+        y2 = solve22T(lev.solver22, t)
+        y2 = y2 + solve22T(lev.solver22, t - s22_mv(y2, adj=True))
+        y1 = y1 - solve1T(lev.solver1, jnp.swapaxes(lev.ci21, -1, -2) @ y2)
     return jnp.concatenate([y1, y2], axis=1)
 
 
@@ -235,7 +253,7 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
     solver22 = jax.vmap(hss_factor)(hssS22)
 
     lev = StructuredLevel(
-        solver1=solver1, solver22=solver22, W=W, ci21=ci21,
+        solver1=solver1, solver22=solver22, H2=A11_2, W=W, ci21=ci21,
         LU_=None, LV_=None, RU_=None, RV_=None,
         int_ids=int_ids, bnd_ids=bnd_ids, h1=h1, h2=h2)
 

@@ -258,6 +258,11 @@ def main():
         "detail": {
             "setup_s": round(t_setup, 4), "solve_s": round(t_solve, 4),
             "plan_s": round(t_plan, 4),
+            # symbolic work the reference times OUTSIDE factor (rungmres.jl:16-19)
+            # vs gather/schedule work its factor redoes per call; both are counted
+            # in our setup_s (conservative accounting)
+            "plan_symbolic_s": round(plan.timings["symbolic_s"], 4),
+            "plan_schedule_s": round(plan.timings["schedule_s"], 4),
             "gmres_iters": info["iters"], "relres": res,
             "factor_gflops": roofline["factor_gflops"],
             "achieved_gflop_s": roofline["achieved_gflop_s"],

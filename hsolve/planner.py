@@ -107,6 +107,11 @@ class Plan:
     tree: NDTree               # relabeled tree (indices are positions in A_perm)
     loc: LocTree
     opts: "SolverOptions" = None
+    # host planning time split: 'symbolic' covers symfact/postorder/permutation
+    # (work the reference does OUTSIDE its timed factor, rungmres.jl:16-19,32);
+    # 'schedule' covers batch building + sparse gather maps (work the reference's
+    # timed factor redoes per call via A[I,J] getindex)
+    timings: Optional[dict] = None
 
     @property
     def nnz(self) -> int:
@@ -137,7 +142,9 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     (the structured counterpart of ``_assemble_blocks`` for HSS children,
     factorization.jl:126-140)."""
     cpl, cpr = child_cplans
-    A_dtype = gather.A.dtype
+    # cross buffers in the native gather dtype (the C++ kernels write f64/c128
+    # raw); they are cast to the factorization dtype on device staging
+    A_dtype = np.complex128 if np.iscomplexobj(gather.A.data) else np.float64
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
     np_pad = cplan.n_pad
@@ -162,6 +169,11 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     groups_l: Dict[int, List[Tuple[int, int]]] = {}
     groups_r: Dict[int, List[Tuple[int, int]]] = {}
 
+    from hsolve.native import BlockGatherBuilder
+
+    builders = {name: BlockGatherBuilder(gather) for name in
+                ("ci12", "ci21", "cib12", "cib21", "cbi12", "cbi21",
+                 "cbb12", "cbb21")}
     for b, node in enumerate(nodes):
         node = int(node)
         l, r = int(tree.left[node]), int(tree.right[node])
@@ -176,12 +188,14 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         int_ids[b, h1: h1 + ki2] = i2
         bnd_ids[b, :kb1] = b1
         bnd_ids[b, q1: q1 + kb2] = b2
-        for name, rows, cols in (("ci12", i1, i2), ("ci21", i2, i1),
-                                 ("cib12", i1, b2), ("cib21", i2, b1),
-                                 ("cbi12", b1, i2), ("cbi21", b2, i1),
-                                 ("cbb12", b1, b2), ("cbb21", b2, b1)):
-            blkv = _extract_dense(gather, rows, cols)
-            cross[name][b, : len(rows), : len(cols)] = blkv
+        # one native gather call per cross-block name for the whole batch (a
+        # per-node-per-block python/ctypes loop dominated compressed planning)
+        for name, rows, cols, w in (("ci12", i1, i2, h2), ("ci21", i2, i1, h1),
+                                    ("cib12", i1, b2, q2), ("cib21", i2, b1, q1),
+                                    ("cbi12", b1, i2, h2), ("cbi21", b2, i1, h1),
+                                    ("cbb12", b1, b2, q2), ("cbb21", b2, b1, q1)):
+            if len(rows) and len(cols):
+                builders[name].add(rows, cols, b * cross[name][0].size, stride=w)
 
         # parent-S HSS pad coord -> child-aligned boundary position
         perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
@@ -194,6 +208,16 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         groups_l.setdefault(sb_l, []).append((sr_l, b))
         sb_r, sr_r = s_loc[r]
         groups_r.setdefault(sb_r, []).append((sr_r, b))
+
+    for name, bld in builders.items():
+        if gather.ok:
+            bld.run(cross[name], cross[name].shape[-1])
+        else:
+            for rs, cs, off in zip(bld.rows, bld.cols, bld.offs):
+                bidx2, rem = divmod(off, cross[name][0].size)
+                r0 = rem // cross[name].shape[-1]
+                cross[name][bidx2, r0: r0 + len(rs), : len(cs)] = \
+                    _extract_dense(gather, rs, cs)
 
     def _mk(gd):
         out = []
@@ -229,6 +253,9 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     decoupled identity dummy fronts), so the node axis divides a device-mesh axis.
     """
     opts.validate()
+    import time as _time
+
+    t_sym0 = _time.perf_counter()
     A = sp.csr_matrix(A)
     N = A.shape[0]
 
@@ -249,6 +276,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     from hsolve.native import CsrGather
     gather = CsrGather(A_perm)
     tree = permuted(tree, relabel)
+    t_sym = _time.perf_counter() - t_sym0
     depth = tree.depth()
     levels = tree.levels()
 
@@ -524,4 +552,6 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
                                          or bp.front_pos.max() < 2 ** 31):
             bp.front_pos = bp.front_pos.astype(np.int32)
     return Plan(N=N, perm=perm, batches=batches, tree_depth=depth, nb_root=nb_root,
-                A_perm=A_perm, tree=tree, loc=loc, opts=opts)
+                A_perm=A_perm, tree=tree, loc=loc, opts=opts,
+                timings={"symbolic_s": t_sym,
+                         "schedule_s": _time.perf_counter() - t_sym0 - t_sym})

@@ -41,8 +41,6 @@ class SolverOptions:
                               # (False = low-rank Gauss transforms only, dense S)
     cross_cap: int = 32       # static rank cap for junction cross-couplings in the
                               # structured extend-add (bnd/int contacts are O(1)-size)
-    pallas_lu: bool = False   # use the Pallas blocked-LU kernel for eligible pivot
-                              # blocks (float, 256 <= n <= 1024, TPU backend)
     explicit_inverse: Optional[bool] = None  # additionally store D^{-1} (and the root
                               # inverse) so every solve sweep is a GEMM instead of a
                               # pair of triangular solves (~2.4x faster on TPU, where

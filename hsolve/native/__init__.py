@@ -82,6 +82,21 @@ def _load():
     lib.csr_gather_coo_pooled_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p,
                                                i64p, i64p, i64p, i64p,
                                                ctypes.c_int64, i64p, i64p, c128o]
+    lib.csr_permute_f64.argtypes = [i64p, i64p, f64p, ctypes.c_int64, i64p, i64p,
+                                    i64p, i64p, f64o]
+    lib.csr_permute_c128.argtypes = [i64p, i64p, c128p, ctypes.c_int64, i64p, i64p,
+                                     i64p, i64p, c128o]
+    lib.tree_postorder.restype = ctypes.c_int64
+    lib.tree_postorder.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                                   i64p, i64p]
+    lib.csr_gather_front_f64.restype = ctypes.c_int64
+    lib.csr_gather_front_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p,
+                                         i64p, i64p, i64p, ctypes.c_int64,
+                                         ctypes.c_int64, i64p, i64p, i64p, f64o]
+    lib.csr_gather_front_c128.restype = ctypes.c_int64
+    lib.csr_gather_front_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p, i64p,
+                                          i64p, i64p, i64p, ctypes.c_int64,
+                                          ctypes.c_int64, i64p, i64p, i64p, c128o]
     _lib = lib
     return _lib
 
@@ -216,7 +231,7 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
     shared ``pool`` (vectorized planner assembly: no per-block Python arrays).
     Returns (pos [nnz] int64, vals [nnz])."""
     g = gather
-    dt = np.complex128 if g.iscomplex else np.float64
+    dt = np.complex128 if np.iscomplexobj(g.A.data) else np.float64
     nblocks = len(rs)
     if nblocks == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
@@ -253,6 +268,75 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
         _lib.csr_gather_coo_pooled_f64
     n = fn(g.indptr, g.indices, g.data, pool, args[0], args[1], args[2], args[3],
            args[4], args[5], nblocks, g.colmap, pos, val)
+    return pos[:n].copy(), val[:n].copy()
+
+
+def csr_permute(A, perm: np.ndarray):
+    """Symmetric CSR permutation ``A[perm][:, perm]`` (columns unsorted within rows -
+    every consumer here is column-order agnostic).  Falls back to scipy fancy
+    indexing without the native library."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    if not _load():
+        return A[perm][:, perm].tocsr()
+    n = A.shape[0]
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    relabel = np.empty(n, dtype=np.int64)
+    relabel[perm] = np.arange(n, dtype=np.int64)
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    iscx = np.iscomplexobj(A.data)
+    data = np.ascontiguousarray(A.data,
+                                dtype=np.complex128 if iscx else np.float64)
+    out_indptr = np.empty(n + 1, dtype=np.int64)
+    out_indices = np.empty(A.nnz, dtype=np.int64)
+    out_data = np.empty(A.nnz, dtype=data.dtype)
+    fn = _lib.csr_permute_c128 if iscx else _lib.csr_permute_f64
+    fn(indptr, indices, data, n, perm, relabel, out_indptr, out_indices, out_data)
+    out = sp.csr_matrix((out_data, out_indices, out_indptr), shape=A.shape)
+    out.has_sorted_indices = False
+    return out
+
+
+def tree_postorder_native(left: np.ndarray, right: np.ndarray, root: int,
+                          nnodes: int):
+    """Post-order node walk (children first, left before right); None if the native
+    library is unavailable."""
+    if not _load():
+        return None
+    left = np.ascontiguousarray(left, dtype=np.int64)
+    right = np.ascontiguousarray(right, dtype=np.int64)
+    stack = np.empty(2 * nnodes + 2, dtype=np.int64)
+    out = np.empty(nnodes, dtype=np.int64)
+    c = _lib.tree_postorder(left, right, int(root), nnodes, stack, out)
+    return out[:c]
+
+
+def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
+                     seg_off: np.ndarray, seg_len: np.ndarray, seg_tag: np.ndarray,
+                     seg_fo: np.ndarray, node_base: np.ndarray, m_pad: int):
+    """Fused per-node front COO gather (one pass over each front row's nonzeros;
+    leaves keep all mapped entries, branches only cross-child ones).  Returns
+    (pos, vals)."""
+    g = gather
+    dt = np.complex128 if g.iscomplex else np.float64
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (pool, seg_ptr, seg_off, seg_len, seg_tag, seg_fo, node_base)]
+    counts = g.indptr[1:] - g.indptr[:-1]
+    bound = int(np.sum(counts[args[0]])) if len(args[0]) else 0
+    ws = getattr(g, "_coo_ws", None)
+    if ws is None or len(ws[0]) < bound or ws[1].dtype != dt:
+        cap_n = max(int(bound * 1.25), 1)
+        ws = (np.empty(cap_n, dtype=np.int64), np.empty(cap_n, dtype=dt))
+        g._coo_ws = ws
+    pos, val = ws
+    if not hasattr(g, "_coltag"):
+        g._coltag = np.zeros(g.A.shape[1], dtype=np.int64)
+    fn = _lib.csr_gather_front_c128 if g.iscomplex else _lib.csr_gather_front_f64
+    n = fn(g.indptr, g.indices, g.data, args[0], args[1], args[2], args[3],
+           args[4], args[5], args[6], len(node_base), m_pad, g.colmap, g._coltag,
+           pos, val)
     return pos[:n].copy(), val[:n].copy()
 
 

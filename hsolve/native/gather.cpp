@@ -228,6 +228,153 @@ int64_t csr_gather_coo_pooled_c128(const int64_t *indptr, const int64_t *indices
   return c;
 }
 
+}  // extern "C" (templates below need C++ linkage)
+
+// Symmetric CSR permutation: out = A[perm][:, perm] with UNSORTED column order
+// inside each row (every downstream consumer - the colmap gathers here and the
+// ELL conversion - is column-order agnostic; scipy's two-pass fancy indexing with
+// per-row sorting cost ~15ms at N=262k).  perm maps new id -> old id; relabel is
+// its inverse (old -> new).  out_indptr must have n+1 entries.
+template <typename T>
+static void csr_permute_impl(const int64_t *indptr, const int64_t *indices,
+                             const T *data, int64_t n, const int64_t *perm,
+                             const int64_t *relabel, int64_t *out_indptr,
+                             int64_t *out_indices, T *out_data) {
+  out_indptr[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t r = perm[i];
+    out_indptr[i + 1] = out_indptr[i] + (indptr[r + 1] - indptr[r]);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t r = perm[i];
+    int64_t q = out_indptr[i];
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p, ++q) {
+      out_indices[q] = relabel[indices[p]];
+      out_data[q] = data[p];
+    }
+  }
+}
+
+extern "C" {
+
+void csr_permute_f64(const int64_t *indptr, const int64_t *indices,
+                     const double *data, int64_t n, const int64_t *perm,
+                     const int64_t *relabel, int64_t *out_indptr,
+                     int64_t *out_indices, double *out_data) {
+  csr_permute_impl(indptr, indices, data, n, perm, relabel, out_indptr,
+                   out_indices, out_data);
+}
+
+void csr_permute_c128(const int64_t *indptr, const int64_t *indices,
+                      const std::complex<double> *data, int64_t n,
+                      const int64_t *perm, const int64_t *relabel,
+                      int64_t *out_indptr, int64_t *out_indices,
+                      std::complex<double> *out_data) {
+  csr_permute_impl(indptr, indices, data, n, perm, relabel, out_indptr,
+                   out_indices, out_data);
+}
+
+// Post-order DFS over a flat binary tree (children before parents, left before
+// right) - the symbolic phase's tree walk (nesteddissection.jl:73-79).  stack is
+// an int64 workspace of >= 2*n entries; returns the number of nodes visited.
+int64_t tree_postorder(const int64_t *left, const int64_t *right, int64_t root,
+                       int64_t n, int64_t *stack, int64_t *out) {
+  int64_t sp = 0, c = 0;
+  // entries encode (node << 1) | expanded
+  stack[sp++] = root << 1;
+  while (sp > 0) {
+    const int64_t e = stack[--sp];
+    const int64_t node = e >> 1;
+    if (e & 1) {
+      out[c++] = node;
+      continue;
+    }
+    stack[sp++] = (node << 1) | 1;
+    if (right[node] >= 0) stack[sp++] = right[node] << 1;
+    if (left[node] >= 0) stack[sp++] = left[node] << 1;
+  }
+  return c;
+}
+
+}  // extern "C"
+
+// Fused per-node front gather: ONE pass over each front row's nonzeros, with a
+// column map tagged by child ownership.  Replaces the 4 (leaf) / 8 (branch)
+// per-node block passes of the pooled COO gather - the planner's schedule hot
+// loop.  Per node: segments seg_ptr[b]..seg_ptr[b+1] of (pool offset, length,
+// child tag, front offset); an entry (r, c) is emitted at
+// node_base[b] + front_row(r) * m_pad + front_col(c) iff both are mapped and
+// (row tag == 0 or tags differ) - leaves keep everything (tag 0), branches only
+// cross-child couplings (factorization.jl:115-123).
+template <typename T>
+static int64_t csr_gather_front_impl(
+    const int64_t *indptr, const int64_t *indices, const T *data,
+    const int64_t *pool, const int64_t *seg_ptr, const int64_t *seg_off,
+    const int64_t *seg_len, const int64_t *seg_tag, const int64_t *seg_fo,
+    const int64_t *node_base, int64_t nnodes, int64_t m_pad, int64_t *colmap,
+    int64_t *coltag, int64_t *pos_out, T *val_out) {
+  int64_t c = 0;
+  for (int64_t b = 0; b < nnodes; ++b) {
+    const int64_t s0 = seg_ptr[b], s1 = seg_ptr[b + 1];
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *cols = pool + seg_off[s];
+      for (int64_t j = 0; j < seg_len[s]; ++j) {
+        colmap[cols[j]] = seg_fo[s] + j;
+        coltag[cols[j]] = seg_tag[s];
+      }
+    }
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *rows = pool + seg_off[s];
+      const int64_t rtag = seg_tag[s];
+      for (int64_t i = 0; i < seg_len[s]; ++i) {
+        const int64_t r = rows[i];
+        const int64_t base = node_base[b] + (seg_fo[s] + i) * m_pad;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t col = indices[p];
+          const int64_t k = colmap[col];
+          if (k >= 0 && (rtag == 0 || coltag[col] != rtag)) {
+            pos_out[c] = base + k;
+            val_out[c] = data[p];
+            ++c;
+          }
+        }
+      }
+    }
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *cols = pool + seg_off[s];
+      for (int64_t j = 0; j < seg_len[s]; ++j) colmap[cols[j]] = -1;
+    }
+  }
+  return c;
+}
+
+extern "C" {
+
+int64_t csr_gather_front_f64(const int64_t *indptr, const int64_t *indices,
+                             const double *data, const int64_t *pool,
+                             const int64_t *seg_ptr, const int64_t *seg_off,
+                             const int64_t *seg_len, const int64_t *seg_tag,
+                             const int64_t *seg_fo, const int64_t *node_base,
+                             int64_t nnodes, int64_t m_pad, int64_t *colmap,
+                             int64_t *coltag, int64_t *pos_out, double *val_out) {
+  return csr_gather_front_impl(indptr, indices, data, pool, seg_ptr, seg_off,
+                               seg_len, seg_tag, seg_fo, node_base, nnodes, m_pad,
+                               colmap, coltag, pos_out, val_out);
+}
+
+int64_t csr_gather_front_c128(const int64_t *indptr, const int64_t *indices,
+                              const std::complex<double> *data,
+                              const int64_t *pool, const int64_t *seg_ptr,
+                              const int64_t *seg_off, const int64_t *seg_len,
+                              const int64_t *seg_tag, const int64_t *seg_fo,
+                              const int64_t *node_base, int64_t nnodes,
+                              int64_t m_pad, int64_t *colmap, int64_t *coltag,
+                              int64_t *pos_out, std::complex<double> *val_out) {
+  return csr_gather_front_impl(indptr, indices, data, pool, seg_ptr, seg_off,
+                               seg_len, seg_tag, seg_fo, node_base, nnodes, m_pad,
+                               colmap, coltag, pos_out, val_out);
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

@@ -166,9 +166,6 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         "cbb12": np.zeros((B, q1, q2), dtype=A_dtype),
         "cbb21": np.zeros((B, q2, q1), dtype=A_dtype),
     }
-    groups_l: Dict[int, List[Tuple[int, int]]] = {}
-    groups_r: Dict[int, List[Tuple[int, int]]] = {}
-
     from hsolve.native import BlockGatherBuilder
 
     builders = {name: BlockGatherBuilder(gather) for name in
@@ -204,11 +201,6 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         smap[b, :k1] = pos[:k1]
         smap[b, cplan.half: cplan.half + k2] = pos[k1:]
 
-        sb_l, sr_l = s_loc[l]
-        groups_l.setdefault(sb_l, []).append((sr_l, b))
-        sb_r, sr_r = s_loc[r]
-        groups_r.setdefault(sb_r, []).append((sr_r, b))
-
     for name, bld in builders.items():
         if gather.ok:
             bld.run(cross[name], cross[name].shape[-1])
@@ -219,13 +211,18 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
                 cross[name][bidx2, r0: r0 + len(rs), : len(cs)] = \
                     _extract_dense(gather, rs, cs)
 
-    def _mk(gd):
+    s_batch, s_row = s_loc
+    nodes_arr = np.asarray(nodes, dtype=np.int64)
+
+    def _mk(kids):
         out = []
-        for src_batch, pairs in sorted(gd.items()):
-            out.append(ChildGroup(src_batch,
-                                  np.array([p[0] for p in pairs], dtype=np.int64),
-                                  np.array([p[1] for p in pairs], dtype=np.int64)))
+        for sb in np.unique(s_batch[kids]):
+            m = np.flatnonzero(s_batch[kids] == sb)
+            out.append(ChildGroup(int(sb), s_row[kids[m]], m.astype(np.int64)))
         return tuple(out)
+
+    groups_l = _mk(tree.left[nodes_arr])
+    groups_r = _mk(tree.right[nodes_arr])
 
     cross["ni1"] = ni1
     cross["ni2"] = ni2
@@ -242,7 +239,7 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         sperm=np.zeros((B, 0), dtype=np.int64), int_ids=int_ids, bnd_ids=bnd_ids,
         levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
         structured=True, cross=cross, smap=smap, child_cplans=child_cplans,
-        groups_l=_mk(groups_l), groups_r=_mk(groups_r))
+        groups_l=groups_l, groups_r=groups_r)
 
 
 def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
@@ -272,39 +269,43 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             "once (check separator/boundary construction)")
     relabel = np.empty(N, dtype=np.int64)
     relabel[perm] = np.arange(N)
-    A_perm = A[perm][:, perm].tocsr()
-    from hsolve.native import CsrGather
+    from hsolve.native import CsrGather, csr_permute
+    A_perm = csr_permute(A, perm)
     gather = CsrGather(A_perm)
     tree = permuted(tree, relabel)
     t_sym = _time.perf_counter() - t_sym0
     depth = tree.depth()
     levels = tree.levels()
+    nn = tree.nnodes
+    # per-node sizes as flat arrays: the schedule below indexes them wholesale
+    # (repeated per-node len() calls dominated host planning at large N)
+    ni_all = np.fromiter((len(tree.int_idx[i]) for i in range(nn)), np.int64, nn)
+    nb_all = np.fromiter((len(tree.bnd_idx[i]) for i in range(nn)), np.int64, nn)
 
     # --- schedule: group nodes by height, split by compression flag ---
     order = tree.topo_order()
-    height = np.zeros(tree.nnodes, dtype=np.int64)
-    for i in order:
-        l, r = tree.left[i], tree.right[i]
-        if l != NONE:
-            height[i] = 1 + max(height[l], height[r])
+    height = tree.heights()
     max_h = int(height[tree.root])
 
     # per-node compression flag (parity with factorization.jl:15:
     # level <= swlevel and |bnd| >= swsize)
     swlevel = opts.resolve_swlevel(depth)
-    cflag = np.array([(levels[i] <= swlevel) and (len(tree.bnd_idx[i]) >= opts.swsize)
-                      for i in range(tree.nnodes)], dtype=bool)
+    cflag = (levels <= swlevel) & (nb_all >= opts.swsize)
 
+    hsorted = order[np.argsort(height[order], kind="stable")]
     groups: List[Tuple[np.ndarray, bool, bool]] = []  # (nodes, is_leaf, compress)
+    hs = height[hsorted]
     for h in range(max_h + 1):
-        at_h = np.asarray([i for i in order if height[i] == h], dtype=np.int64)
+        lo, hi = np.searchsorted(hs, [h, h + 1])
+        at_h = hsorted[lo:hi]
         for want in (False, True):
             sel = at_h[cflag[at_h] == want]
             if len(sel):
                 groups.append((sel, h == 0, want))
 
-    # node -> (batch, row) location of its Schur complement
-    s_loc: Dict[int, Tuple[int, int]] = {}
+    # node -> (batch, row) location of its Schur complement (flat arrays)
+    s_batch = np.full(nn, -1, dtype=np.int64)
+    s_row = np.full(nn, -1, dtype=np.int64)
     batches: List[BatchPlan] = []
 
     for bidx, (nodes, is_leaf_batch, compress) in enumerate(groups):
@@ -312,8 +313,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         B = _round_up(B0, batch_multiple)  # dummy rows beyond B0 (sharding padding)
         ni = np.zeros(B, dtype=np.int64)
         nb = np.zeros(B, dtype=np.int64)
-        ni[:B0] = [len(tree.int_idx[i]) for i in nodes]
-        nb[:B0] = [len(tree.bnd_idx[i]) for i in nodes]
+        ni[:B0] = ni_all[nodes]
+        nb[:B0] = nb_all[nodes]
         ni_pad = _round_up(int(ni.max()), opts.pad)
         nb_pad = _round_up(int(nb.max()), opts.pad) if nb.max() > 0 else 0
         m_pad = ni_pad + nb_pad
@@ -327,8 +328,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
 
             n1 = np.zeros(B, dtype=np.int64)
             n2 = np.zeros(B, dtype=np.int64)
-            n1[:B0] = [len(loc.int_loc[i]) for i in nodes]
-            n2[:B0] = [len(loc.bnd_loc[i]) for i in nodes]
+            n1[:B0] = loc.n_int[nodes]
+            n2[:B0] = loc.n_bnd[nodes]
             cplan = plan_cluster(int(n1.max()), int(n2.max()), opts.leafsize,
                                  min_depth=2)
 
@@ -336,14 +337,14 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         structured = False
         child_cplans = None
         if compress and opts.hss and not is_leaf_batch and cplan is not None:
-            lkids = [int(tree.left[i]) for i in nodes]
-            rkids = [int(tree.right[i]) for i in nodes]
-            if all(cflag[c] for c in lkids + rkids):
+            lkids = tree.left[nodes]
+            rkids = tree.right[nodes]
+            if cflag[lkids].all() and cflag[rkids].all():
                 # children may span several source batches as long as each side's
                 # sources agree on the HSS layout (cluster plan + rank cap), so the
                 # gathered SchurHss stacks are shape-compatible
-                lb = sorted({s_loc[c][0] for c in lkids})
-                rb = sorted({s_loc[c][0] for c in rkids})
+                lb = np.unique(s_batch[lkids]).tolist()
+                rb = np.unique(s_batch[rkids]).tolist()
 
                 def _common_cplan(src_batches):
                     cps = [(batches[b].cplan, batches[b].rank_cap)
@@ -369,10 +370,10 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         if structured:
             bp = _plan_structured_batch(
                 gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan, child_cplans,
-                levels, s_loc, opts, N, bidx)
+                levels, (s_batch, s_row), opts, N, bidx)
             batches.append(bp)
-            for b, node in enumerate(nodes):
-                s_loc[int(node)] = (bidx, b)
+            s_batch[nodes] = bidx
+            s_row[nodes] = np.arange(B0, dtype=np.int64)
             continue
 
         ident_pos = []
@@ -386,10 +387,10 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         bnd_ids = np.full((B, nb_pad), N, dtype=np.int64)
 
         if not is_leaf_batch:
-            ni1 = np.array([len(loc.int_loc[tree.left[i]]) for i in nodes], np.int64)
-            ni2 = np.array([len(loc.int_loc[tree.right[i]]) for i in nodes], np.int64)
-            nb1 = np.array([len(loc.bnd_loc[tree.left[i]]) for i in nodes], np.int64)
-            nb2 = np.array([len(loc.bnd_loc[tree.right[i]]) for i in nodes], np.int64)
+            ni1 = loc.n_int[tree.left[nodes]]
+            ni2 = loc.n_int[tree.right[nodes]]
+            nb1 = loc.n_bnd[tree.left[nodes]]
+            nb2 = loc.n_bnd[tree.right[nodes]]
             sl = ni1 + nb1
             sr = ni2 + nb2
             sl_pad = max(_round_up(int(sl.max()), opts.pad), 1)
@@ -433,32 +434,58 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             st = np.full(len(rs), m_pad, dtype=np.int64)
             return rs, rl, cs, cl, oo, st
 
-        if is_leaf_batch:
-            z = np.zeros(B0n, dtype=np.int64)
-            parts = [
-                (o_int, niB, o_int, niB, z, z),                       # ii
-                (o_int, niB, o_bnd, nbB, z, z + ni_pad),              # ib
-                (o_bnd, nbB, o_int, niB, z + ni_pad, z),              # bi
-                (o_bnd, nbB, o_bnd, nbB, z + ni_pad, z + ni_pad),     # bb
-            ]
-        else:
-            # same-child entries come from the child Schur complements; only the
-            # cross-child couplings are taken from A (factorization.jl:115-123)
-            s_i1, l_i1 = o_int, ni1
-            s_i2, l_i2 = o_int + ni1, ni2
-            s_b1, l_b1 = o_bnd, nb1
-            s_b2, l_b2 = o_bnd + nb1, nb2
-            z = np.zeros(B0n, dtype=np.int64)
-            off = {"i1": z, "i2": ni1, "b1": z + ni_pad, "b2": ni_pad + nb1}
-            seg = {"i1": (s_i1, l_i1), "i2": (s_i2, l_i2),
-                   "b1": (s_b1, l_b1), "b2": (s_b2, l_b2)}
-            parts = [
-                (seg[rn][0], seg[rn][1], seg[cn][0], seg[cn][1], off[rn], off[cn])
-                for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
-                               ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
-                               ("b1", "b2"), ("b2", "b1"))]
+        if gather.ok:
+            # fused per-node gather: one pass over each front row's nonzeros with a
+            # child-tagged column map (branches keep only cross-child entries)
+            from hsolve.native import run_front_gather
 
-        front_pos, front_vals = run_coo_pooled(gather, pool, *_specs_from(parts))
+            z = np.zeros(B0n, dtype=np.int64)
+            if is_leaf_batch:
+                nseg = 2
+                segs = ((o_int, niB, z, z), (o_bnd, nbB, z, z + ni_pad))
+            else:
+                nseg = 4
+                one = np.ones(B0n, dtype=np.int64)
+                segs = ((o_int, ni1, one, z), (o_int + ni1, ni2, 2 * one, ni1),
+                        (o_bnd, nb1, one, z + ni_pad),
+                        (o_bnd + nb1, nb2, 2 * one, ni_pad + nb1))
+            so = np.empty(nseg * B0n, dtype=np.int64)
+            sl = np.empty_like(so)
+            st_ = np.empty_like(so)
+            sf = np.empty_like(so)
+            for k, (a, b_, c_, d_) in enumerate(segs):
+                so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
+            seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
+            front_pos, front_vals = run_front_gather(
+                gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad)
+        else:
+            if is_leaf_batch:
+                z = np.zeros(B0n, dtype=np.int64)
+                parts = [
+                    (o_int, niB, o_int, niB, z, z),                       # ii
+                    (o_int, niB, o_bnd, nbB, z, z + ni_pad),              # ib
+                    (o_bnd, nbB, o_int, niB, z + ni_pad, z),              # bi
+                    (o_bnd, nbB, o_bnd, nbB, z + ni_pad, z + ni_pad),     # bb
+                ]
+            else:
+                # same-child entries come from the child Schur complements; only the
+                # cross-child couplings are taken from A (factorization.jl:115-123)
+                s_i1, l_i1 = o_int, ni1
+                s_i2, l_i2 = o_int + ni1, ni2
+                s_b1, l_b1 = o_bnd, nb1
+                s_b2, l_b2 = o_bnd + nb1, nb2
+                z = np.zeros(B0n, dtype=np.int64)
+                off = {"i1": z, "i2": ni1, "b1": z + ni_pad, "b2": ni_pad + nb1}
+                seg = {"i1": (s_i1, l_i1), "i2": (s_i2, l_i2),
+                       "b1": (s_b1, l_b1), "b2": (s_b2, l_b2)}
+                parts = [
+                    (seg[rn][0], seg[rn][1], seg[cn][0], seg[cn][1], off[rn],
+                     off[cn])
+                    for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
+                                   ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
+                                   ("b1", "b2"), ("b2", "b1"))]
+            front_pos, front_vals = run_coo_pooled(gather, pool,
+                                                   *_specs_from(parts))
 
         # vectorized per-batch fills (host symbolic time is part of the north-star
         # setup metric; per-node python loops dominated it at scale)
@@ -474,8 +501,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             lpool = np.concatenate(
                 [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
                 or [np.zeros(0, dtype=np.int64)])
-            l1 = np.array([len(loc.int_loc[nd]) for nd in nodes], dtype=np.int64)
-            l2 = np.array([len(loc.bnd_loc[nd]) for nd in nodes], dtype=np.int64)
+            l1 = loc.n_int[nodes]
+            l2 = loc.n_bnd[nodes]
             lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
             lpx = np.concatenate([lpool, [0]])
             gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
@@ -496,33 +523,28 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             map_r[:B0n] = np.where(in_i2, cols_m - ni1[:, None],
                                    np.where(in_b2, ni2[:, None] + cols_m
                                             - ni_pad - nb1[:, None], -1))
-            for b, node in enumerate(nodes):
-                l, r = int(tree.left[node]), int(tree.right[node])
-                sb_l, sr_l = s_loc[l]
-                groups_l.setdefault(sb_l, []).append((sr_l, b))
-                sb_r, sr_r = s_loc[r]
-                groups_r.setdefault(sb_r, []).append((sr_r, b))
+            for kids, gd in ((tree.left[nodes], groups_l),
+                             (tree.right[nodes], groups_r)):
+                for sb in np.unique(s_batch[kids]):
+                    m = np.flatnonzero(s_batch[kids] == sb)
+                    gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
 
         # identity on the padded part of the pivot block keeps the batched LU
         # well-defined (the padded rows/cols stay decoupled)
         pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
             + cols_i[None, :] * (m_pad + 1)
         ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
-        for b, node in enumerate(nodes):
-            s_loc[int(node)] = (bidx, b)
+        s_batch[nodes] = bidx
+        s_row[nodes] = np.arange(B0n, dtype=np.int64)
         if ident_pos:
             ip = np.concatenate(ident_pos).ravel()
             front_pos = np.concatenate([front_pos, ip])
             front_vals = np.concatenate([front_vals,
                                          np.ones(len(ip), dtype=front_vals.dtype)])
 
-        def _mk_groups(gd: Dict[int, List[Tuple[int, int]]]) -> Tuple[ChildGroup, ...]:
-            out = []
-            for src_batch, pairs in sorted(gd.items()):
-                src_rows = np.array([p[0] for p in pairs], dtype=np.int64)
-                dst_rows = np.array([p[1] for p in pairs], dtype=np.int64)
-                out.append(ChildGroup(src_batch, src_rows, dst_rows))
-            return tuple(out)
+        def _mk_groups(gd) -> Tuple[ChildGroup, ...]:
+            return tuple(ChildGroup(sb, src, dst)
+                         for sb, (src, dst) in sorted(gd.items()))
 
         lev_arr = np.zeros(B, dtype=np.int64)
         lev_arr[:B0] = levels[nodes]

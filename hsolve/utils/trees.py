@@ -65,19 +65,36 @@ class NDTree:
     def is_leaf(self, i: int) -> bool:
         return self.left[i] == NONE and self.right[i] == NONE
 
+    def layers(self) -> List[np.ndarray]:
+        """Nodes grouped by level (root first), computed by vectorized BFS."""
+        cached = getattr(self, "_layers_cache", None)
+        if cached is not None:
+            return cached
+        out = []
+        cur = np.asarray([self.root], dtype=np.int64)
+        while len(cur):
+            out.append(cur)
+            kids = np.concatenate([self.left[cur], self.right[cur]])
+            cur = kids[kids != NONE]
+        object.__setattr__(self, "_layers_cache", out)
+        return out
+
     def depth(self) -> int:
         """Number of node levels (single node tree -> 1); used to resolve negative
         swlevel (parity with ``depth(nd)`` at factorization.jl:8)."""
-        depth = np.zeros(self.nnodes, dtype=np.int64)
-        for i in self.topo_order():  # children before parents
-            l, r = self.left[i], self.right[i]
-            d = 0
-            if l != NONE:
-                d = max(d, depth[l])
-            if r != NONE:
-                d = max(d, depth[r])
-            depth[i] = d + 1
-        return int(depth[self.root])
+        return len(self.layers())
+
+    def heights(self) -> np.ndarray:
+        """Per-node height (leaves 0), by per-layer vectorized bottom-up passes."""
+        h = np.zeros(self.nnodes, dtype=np.int64)
+        for layer in reversed(self.layers()):
+            l, r = self.left[layer], self.right[layer]
+            m = l != NONE
+            if m.any():
+                lm = np.where(m, l, 0)
+                rm = np.where(m, r, 0)
+                h[layer] = np.where(m, 1 + np.maximum(h[lm], h[rm]), h[layer])
+        return h
 
     def topo_order(self) -> np.ndarray:
         """Node ids in post-order (children before parents, left before right).
@@ -88,19 +105,27 @@ class NDTree:
         cached = getattr(self, "_topo_cache", None)
         if cached is not None and len(cached) == self.nnodes:
             return cached
-        order: List[int] = []
-        stack = [(self.root, False)]
-        while stack:
-            node, expanded = stack.pop()
-            if node == NONE:
-                continue
-            if expanded:
-                order.append(node)
-            else:
-                stack.append((node, True))
-                stack.append((self.right[node], False))
-                stack.append((self.left[node], False))
-        arr = np.asarray(order, dtype=np.int64)
+        try:
+            from hsolve.native import tree_postorder_native
+
+            arr = tree_postorder_native(self.left, self.right, self.root,
+                                        self.nnodes)
+        except Exception:
+            arr = None
+        if arr is None:
+            order: List[int] = []
+            stack = [(self.root, False)]
+            while stack:
+                node, expanded = stack.pop()
+                if node == NONE:
+                    continue
+                if expanded:
+                    order.append(node)
+                else:
+                    stack.append((node, True))
+                    stack.append((self.right[node], False))
+                    stack.append((self.left[node], False))
+            arr = np.asarray(order, dtype=np.int64)
         object.__setattr__(self, "_topo_cache", arr)
         return arr
 
@@ -108,11 +133,8 @@ class NDTree:
         """Per-node level with root = 1 (parity with the reference's recursion level,
         factorization.jl:14-23); used for the compression switch."""
         lev = np.zeros(self.nnodes, dtype=np.int64)
-        lev[self.root] = 1
-        for i in self.topo_order()[::-1]:  # parents before children
-            for c in (self.left[i], self.right[i]):
-                if c != NONE:
-                    lev[c] = lev[i] + 1
+        for d, layer in enumerate(self.layers()):
+            lev[layer] = d + 1
         return lev
 
     def validate(self) -> None:
@@ -144,10 +166,15 @@ class LocTree:
     """Local-index companion tree produced by :func:`symfact` (the reference's
     ``nd_loc``, nesteddissection.jl:30-33): for each node, the positions *within its own
     boundary vector* of the DOFs its parent eliminates (``int_loc``) and of the DOFs
-    that stay on the parent's boundary (``bnd_loc``)."""
+    that stay on the parent's boundary (``bnd_loc``).
+
+    ``n_int``/``n_bnd`` hold the per-node lengths as flat arrays (the planner indexes
+    them wholesale; per-node ``len()`` calls dominated symbolic time at scale)."""
 
     int_loc: List[np.ndarray]
     bnd_loc: List[np.ndarray]
+    n_int: Optional[np.ndarray] = None   # [nnodes]
+    n_bnd: Optional[np.ndarray] = None   # [nnodes]
 
 
 def symfact(tree: NDTree) -> LocTree:
@@ -169,8 +196,10 @@ def symfact(tree: NDTree) -> LocTree:
     ``findall(in(...))`` per node, nesteddissection.jl:42-43).
     """
     n = tree.nnodes
-    loc = LocTree([np.empty(0, np.int64) for _ in range(n)],
-                  [np.empty(0, np.int64) for _ in range(n)])
+    _E = np.empty(0, np.int64)  # shared placeholder; entries are reassigned below
+    loc = LocTree([_E] * n, [_E] * n,
+                  n_int=np.zeros(n, dtype=np.int64),
+                  n_bnd=np.zeros(n, dtype=np.int64))
     order = tree.topo_order()
     # eliminating node of every DOF (from the input int sets, which partition the
     # eliminated DOFs); root-bnd DOFs keep sentinel -1 (eliminated at "the root solve")
@@ -184,20 +213,15 @@ def symfact(tree: NDTree) -> LocTree:
                             [len(tree.int_idx[i]) for i in range(n)])
 
     # group branches by height so children are final before parents are assembled
-    height = np.zeros(n, dtype=np.int64)
-    for i in order:
-        l, r = tree.left[i], tree.right[i]
-        if l != NONE:
-            height[i] = 1 + max(height[l], height[r])
+    height = tree.heights()
     max_h = int(height[tree.root]) if n else 0
-    by_h: List[List[int]] = [[] for _ in range(max_h + 1)]
-    for i in order:
-        if tree.left[i] != NONE:
-            by_h[height[i]].append(i)
+    branches = np.flatnonzero(tree.left != NONE)
+    by_h: List[np.ndarray] = [
+        branches[height[branches] == h] for h in range(max_h + 1)]
 
     for h in range(1, max_h + 1):
         parents = by_h[h]
-        if not parents:
+        if len(parents) == 0:
             continue
         # child pool, ordered [l(p0), r(p0), l(p1), r(p1), ...]
         kids = np.empty(2 * len(parents), dtype=np.int64)
@@ -221,6 +245,8 @@ def symfact(tree: NDTree) -> LocTree:
         ioff = np.concatenate([[0], np.cumsum(icnt)])
         bcnt = seg_len - icnt
         boff = np.concatenate([[0], np.cumsum(bcnt)])
+        loc.n_int[kids] = icnt
+        loc.n_bnd[kids] = bcnt
         for k, c in enumerate(kids):
             loc.int_loc[c] = ipos[ioff[k]: ioff[k + 1]]
             loc.bnd_loc[c] = bpos[boff[k]: boff[k + 1]]
@@ -231,6 +257,7 @@ def symfact(tree: NDTree) -> LocTree:
     root = tree.root
     loc.int_loc[root] = np.arange(len(tree.bnd_idx[root]), dtype=np.int64)
     loc.bnd_loc[root] = np.empty(0, np.int64)
+    loc.n_int[root] = len(tree.bnd_idx[root])
     return loc
 
 

@@ -301,10 +301,12 @@ def _stage_children(groups, s_stacks, B: int, s_pad: int, dtype) -> jax.Array:
     for g in groups:
         src = s_stacks[g.src_batch]
         if isinstance(src, SchurHss):
-            logger.warning(
+            # planned fallback: the planner only emits HSS where some consumer is
+            # structured; remaining HSS-fed dense parents (odd nodes whose sibling
+            # is structured-consumed, the root batch) densify here by design
+            logger.info(
                 "densifying %d HSS child Schur complement(s) from batch %d "
-                "(size %d): the parent batch fell off the structured path, so "
-                "quasilinear assembly degrades to O(n^2) for these nodes",
+                "(size %d) for a dense-assembly parent",
                 len(g.src_rows), g.src_batch, s_pad)
             sel = jax.tree_util.tree_map(lambda a: a[g.src_rows], src)
             dense = densify_schur(sel, s_pad)
@@ -589,12 +591,23 @@ def _factor_levels(plan: Plan, opts: SolverOptions, dtype, levels, s_stacks, mes
 
 
 def _run_structured(bp: BatchPlan, s_stacks, opts: SolverOptions, dtype, bidx: int):
+    from hsolve.planner import cross_block_shapes
     from hsolve.structured import structured_factor_batch
 
     sh1 = _gather_schur(bp.groups_l, s_stacks, bp.B)
     sh2 = _gather_schur(bp.groups_r, s_stacks, bp.B)
-    cross = {k: (jnp.asarray(v, dtype=dtype) if v.ndim == 3 else jnp.asarray(v))
-             for k, v in bp.cross.items()}
+    # materialize the dense cross-coupling buffers on device from the planner's COO
+    # (only junction nonzeros are stored; dense host buffers baked multi-MB
+    # constants into the fused program)
+    cross = {}
+    for name, (r_, c_) in cross_block_shapes(bp.child_cplans).items():
+        pos, vals = bp.cross[name]
+        flat = jnp.zeros((bp.B * r_ * c_,), dtype=dtype)
+        if len(pos):
+            flat = flat.at[jnp.asarray(pos)].set(
+                jnp.asarray(np.asarray(vals, dtype=dtype)),
+                unique_indices=True, mode="promise_in_bounds")
+        cross[name] = flat.reshape(bp.B, r_, c_)
     key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), 7000 + bidx)
     return structured_factor_batch(
         sh1, sh2, cross, jnp.asarray(bp.smap), bp.cplan,

@@ -73,7 +73,7 @@ class BatchPlan:
     n2: Optional[np.ndarray] = None   # [B] len(bnd_loc) per node
     # fully-structured batches (both children HSS): child-aligned layout
     structured: bool = False
-    cross: Optional[dict] = None      # 8 dense cross blocks in child-aligned coords
+    cross: Optional[dict] = None      # 8 cross blocks as COO (pos, vals) + per-child sizes
     smap: Optional[np.ndarray] = None  # [B, cplan.n_pad] S-pad -> child-aligned bnd pos
     child_cplans: Optional[tuple] = None  # (left ClusterPlan, right ClusterPlan)
     # branch-only extend-add data (None for the leaf batch):
@@ -131,6 +131,17 @@ def _extract_dense(A, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return np.asarray(A[rows][:, cols].todense())
 
 
+def cross_block_shapes(child_cplans) -> Dict[str, Tuple[int, int]]:
+    """Per-node (rows, cols) of the 8 cross-coupling blocks of a structured batch,
+    in child-aligned coordinates."""
+    cpl, cpr = child_cplans
+    h1, h2 = cpl.half, cpr.half
+    q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
+    return {"ci12": (h1, h2), "ci21": (h2, h1), "cib12": (h1, q2),
+            "cib21": (h2, q1), "cbi12": (q1, h2), "cbi21": (q2, h1),
+            "cbb12": (q1, q2), "cbb21": (q2, q1)}
+
+
 def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
                            child_cplans, levels, s_loc, opts, N, bidx) -> BatchPlan:
     """Plan a fully-structured compressed batch in *child-aligned* coordinates.
@@ -156,21 +167,10 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     int_ids = np.full((B, h1 + h2), N, dtype=np.int64)
     bnd_ids = np.full((B, q1 + q2), N, dtype=np.int64)
     smap = np.full((B, np_pad), q1 + q2, dtype=np.int64)
-    cross = {
-        "ci12": np.zeros((B, h1, h2), dtype=A_dtype),
-        "ci21": np.zeros((B, h2, h1), dtype=A_dtype),
-        "cib12": np.zeros((B, h1, q2), dtype=A_dtype),
-        "cib21": np.zeros((B, h2, q1), dtype=A_dtype),
-        "cbi12": np.zeros((B, q1, h2), dtype=A_dtype),
-        "cbi21": np.zeros((B, q2, h1), dtype=A_dtype),
-        "cbb12": np.zeros((B, q1, q2), dtype=A_dtype),
-        "cbb21": np.zeros((B, q2, q1), dtype=A_dtype),
-    }
+    shapes = cross_block_shapes(child_cplans)
     from hsolve.native import BlockGatherBuilder
 
-    builders = {name: BlockGatherBuilder(gather) for name in
-                ("ci12", "ci21", "cib12", "cib21", "cbi12", "cbi21",
-                 "cbb12", "cbb21")}
+    builders = {name: BlockGatherBuilder(gather) for name in shapes}
     for b, node in enumerate(nodes):
         node = int(node)
         l, r = int(tree.left[node]), int(tree.right[node])
@@ -192,7 +192,8 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
                                     ("cbi12", b1, i2, h2), ("cbi21", b2, i1, h1),
                                     ("cbb12", b1, b2, q2), ("cbb21", b2, b1, q1)):
             if len(rows) and len(cols):
-                builders[name].add(rows, cols, b * cross[name][0].size, stride=w)
+                r_, c_ = shapes[name]
+                builders[name].add(rows, cols, b * r_ * c_, stride=w)
 
         # parent-S HSS pad coord -> child-aligned boundary position
         perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
@@ -201,15 +202,11 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         smap[b, :k1] = pos[:k1]
         smap[b, cplan.half: cplan.half + k2] = pos[k1:]
 
-    for name, bld in builders.items():
-        if gather.ok:
-            bld.run(cross[name], cross[name].shape[-1])
-        else:
-            for rs, cs, off in zip(bld.rows, bld.cols, bld.offs):
-                bidx2, rem = divmod(off, cross[name][0].size)
-                r0 = rem // cross[name].shape[-1]
-                cross[name][bidx2, r0: r0 + len(rs), : len(cs)] = \
-                    _extract_dense(gather, rs, cs)
+    # COO per cross-block: only the junction nonzeros are stored (and shipped /
+    # embedded as jit constants) - the dense [B, r, c] buffers materialize on
+    # device at trace time.  Dense host buffers baked multi-MB constants into the
+    # fused program and dominated its compile time.
+    cross = {name: bld.run_coo(shapes[name][1]) for name, bld in builders.items()}
 
     s_batch, s_row = s_loc
     nodes_arr = np.asarray(nodes, dtype=np.int64)
@@ -240,6 +237,200 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
         structured=True, cross=cross, smap=smap, child_cplans=child_cplans,
         groups_l=groups_l, groups_r=groups_r)
+
+
+def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
+                        m_pad, is_leaf_batch, compress, cplan, n1, n2, levels,
+                        s_batch, s_row, batches, opts, N, bidx) -> None:
+    """Plan one regular (dense or compressed-with-dense-children) batch: front COO
+    gathers, extend-add maps, id/perm fills.  Appends the BatchPlan to ``batches``
+    and records the nodes' Schur locations in ``s_batch``/``s_row``."""
+    ident_pos = []
+    if B > B0:  # dummy fronts: identity pivot block
+        d = np.arange(ni_pad)
+        for bb in range(B0, B):
+            ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
+    sperm = np.tile(np.arange(nb_pad, dtype=np.int64), (B, 1)) if nb_pad else \
+        np.zeros((B, 0), dtype=np.int64)
+    int_ids = np.full((B, ni_pad), N, dtype=np.int64)
+    bnd_ids = np.full((B, nb_pad), N, dtype=np.int64)
+
+    if not is_leaf_batch:
+        ni1 = loc.n_int[tree.left[nodes]]
+        ni2 = loc.n_int[tree.right[nodes]]
+        nb1 = loc.n_bnd[tree.left[nodes]]
+        nb2 = loc.n_bnd[tree.right[nodes]]
+        sl = ni1 + nb1
+        sr = ni2 + nb2
+        sl_pad = max(_round_up(int(sl.max()), opts.pad), 1)
+        sr_pad = max(_round_up(int(sr.max()), opts.pad), 1)
+        # inverse extend-add maps: front position -> child-S index (or -1), so
+        # the device assembly is a gather, not an XLA scatter
+        map_l = np.full((B, m_pad), -1, dtype=np.int64)
+        map_r = np.full((B, m_pad), -1, dtype=np.int64)
+    else:
+        sl_pad = sr_pad = 0
+        map_l = map_r = None
+
+    groups_l: Dict[int, List[Tuple[int, int]]] = {}
+    groups_r: Dict[int, List[Tuple[int, int]]] = {}
+    from hsolve.native import run_coo_pooled
+
+    # one shared index pool per batch ([ints_0, bnds_0, ints_1, bnds_1, ...]);
+    # block specs are segments of it, assembled with vectorized numpy - the
+    # per-node small-array accumulation dominated symbolic time at scale
+    B0n = len(nodes)
+    pool = np.concatenate(
+        [x for n in nodes for x in (tree.int_idx[n], tree.bnd_idx[n])]
+        or [np.zeros(0, dtype=np.int64)])
+    seg_lens = np.empty(2 * B0n, dtype=np.int64)
+    seg_lens[0::2] = ni[:B0n]
+    seg_lens[1::2] = nb[:B0n]
+    seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+    o_int = seg_off[0::2]                       # [B0] pool offset of ints
+    o_bnd = seg_off[1::2]                       # [B0] pool offset of bnds
+    base = np.arange(B0n, dtype=np.int64) * (m_pad * m_pad)
+    niB = ni[:B0n]
+    nbB = nb[:B0n]
+
+    def _specs_from(parts):
+        # parts: list of (rs, rl, cs, cl, r0, c0) per block type, each [B0]
+        rs = np.concatenate([p[0] for p in parts])
+        rl = np.concatenate([p[1] for p in parts])
+        cs = np.concatenate([p[2] for p in parts])
+        cl = np.concatenate([p[3] for p in parts])
+        oo = np.concatenate([base + p[4] * m_pad + p[5] for p in parts])
+        st = np.full(len(rs), m_pad, dtype=np.int64)
+        return rs, rl, cs, cl, oo, st
+
+    if gather.ok:
+        # fused per-node gather: one pass over each front row's nonzeros with a
+        # child-tagged column map (branches keep only cross-child entries)
+        from hsolve.native import run_front_gather
+
+        z = np.zeros(B0n, dtype=np.int64)
+        if is_leaf_batch:
+            nseg = 2
+            segs = ((o_int, niB, z, z), (o_bnd, nbB, z, z + ni_pad))
+        else:
+            nseg = 4
+            one = np.ones(B0n, dtype=np.int64)
+            segs = ((o_int, ni1, one, z), (o_int + ni1, ni2, 2 * one, ni1),
+                    (o_bnd, nb1, one, z + ni_pad),
+                    (o_bnd + nb1, nb2, 2 * one, ni_pad + nb1))
+        so = np.empty(nseg * B0n, dtype=np.int64)
+        sl = np.empty_like(so)
+        st_ = np.empty_like(so)
+        sf = np.empty_like(so)
+        for k, (a, b_, c_, d_) in enumerate(segs):
+            so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
+        seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
+        front_pos, front_vals = run_front_gather(
+            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad)
+    else:
+        if is_leaf_batch:
+            z = np.zeros(B0n, dtype=np.int64)
+            parts = [
+                (o_int, niB, o_int, niB, z, z),                       # ii
+                (o_int, niB, o_bnd, nbB, z, z + ni_pad),              # ib
+                (o_bnd, nbB, o_int, niB, z + ni_pad, z),              # bi
+                (o_bnd, nbB, o_bnd, nbB, z + ni_pad, z + ni_pad),     # bb
+            ]
+        else:
+            # same-child entries come from the child Schur complements; only the
+            # cross-child couplings are taken from A (factorization.jl:115-123)
+            s_i1, l_i1 = o_int, ni1
+            s_i2, l_i2 = o_int + ni1, ni2
+            s_b1, l_b1 = o_bnd, nb1
+            s_b2, l_b2 = o_bnd + nb1, nb2
+            z = np.zeros(B0n, dtype=np.int64)
+            off = {"i1": z, "i2": ni1, "b1": z + ni_pad, "b2": ni_pad + nb1}
+            seg = {"i1": (s_i1, l_i1), "i2": (s_i2, l_i2),
+                   "b1": (s_b1, l_b1), "b2": (s_b2, l_b2)}
+            parts = [
+                (seg[rn][0], seg[rn][1], seg[cn][0], seg[cn][1], off[rn],
+                 off[cn])
+                for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
+                               ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
+                               ("b1", "b2"), ("b2", "b1"))]
+        front_pos, front_vals = run_coo_pooled(gather, pool,
+                                               *_specs_from(parts))
+
+    # vectorized per-batch fills (host symbolic time is part of the north-star
+    # setup metric; per-node python loops dominated it at scale)
+    cols_i = np.arange(ni_pad, dtype=np.int64)
+    poolx = np.concatenate([pool, [N]])
+    gi = np.minimum(o_int[:, None] + cols_i[None, :], len(pool))
+    int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
+    if nb_pad:
+        cols_b = np.arange(nb_pad, dtype=np.int64)
+        gb = np.minimum(o_bnd[:, None] + cols_b[None, :], len(pool))
+        bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
+        # sperm rows are [int_loc; bnd_loc] per node
+        lpool = np.concatenate(
+            [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
+            or [np.zeros(0, dtype=np.int64)])
+        l1 = loc.n_int[nodes]
+        l2 = loc.n_bnd[nodes]
+        lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
+        lpx = np.concatenate([lpool, [0]])
+        gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
+        sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
+                               sperm[:B0n])
+
+    if not is_leaf_batch:
+        # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
+        # placements are two contiguous runs per child)
+        cols_m = np.arange(m_pad, dtype=np.int64)[None, :]
+        in_i1 = cols_m < ni1[:, None]
+        in_i2 = (cols_m >= ni1[:, None]) & (cols_m < (ni1 + ni2)[:, None])
+        in_b1 = (cols_m >= ni_pad) & (cols_m < (ni_pad + nb1)[:, None])
+        in_b2 = ((cols_m >= (ni_pad + nb1)[:, None])
+                 & (cols_m < (ni_pad + nb1 + nb2)[:, None]))
+        map_l[:B0n] = np.where(in_i1, cols_m,
+                               np.where(in_b1, ni1[:, None] + cols_m - ni_pad, -1))
+        map_r[:B0n] = np.where(in_i2, cols_m - ni1[:, None],
+                               np.where(in_b2, ni2[:, None] + cols_m
+                                        - ni_pad - nb1[:, None], -1))
+        for kids, gd in ((tree.left[nodes], groups_l),
+                         (tree.right[nodes], groups_r)):
+            for sb in np.unique(s_batch[kids]):
+                m = np.flatnonzero(s_batch[kids] == sb)
+                gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
+
+    # identity on the padded part of the pivot block keeps the batched LU
+    # well-defined (the padded rows/cols stay decoupled)
+    pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
+        + cols_i[None, :] * (m_pad + 1)
+    ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
+    s_batch[nodes] = bidx
+    s_row[nodes] = np.arange(B0n, dtype=np.int64)
+    if ident_pos:
+        ip = np.concatenate(ident_pos).ravel()
+        front_pos = np.concatenate([front_pos, ip])
+        front_vals = np.concatenate([front_vals,
+                                     np.ones(len(ip), dtype=front_vals.dtype)])
+
+    def _mk_groups(gd) -> Tuple[ChildGroup, ...]:
+        return tuple(ChildGroup(sb, src, dst)
+                     for sb, (src, dst) in sorted(gd.items()))
+
+    lev_arr = np.zeros(B, dtype=np.int64)
+    lev_arr[:B0] = levels[nodes]
+    rank_cap = 0
+    if compress and nb_pad > 0:
+        cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
+        rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
+    batches.append(BatchPlan(
+        node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,
+        ni=ni, nb=nb, batch_size=B, front_pos=front_pos, front_vals=front_vals,
+        sperm=sperm, int_ids=int_ids,
+        bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
+        map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
+        rank_cap=rank_cap, cplan=cplan if compress and rank_cap > 0 else None,
+        n1=n1, n2=n2,
+        groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
+
 
 
 def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
@@ -308,259 +499,98 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     s_row = np.full(nn, -1, dtype=np.int64)
     batches: List[BatchPlan] = []
 
-    for bidx, (nodes, is_leaf_batch, compress) in enumerate(groups):
-        B0 = len(nodes)
-        B = _round_up(B0, batch_multiple)  # dummy rows beyond B0 (sharding padding)
-        ni = np.zeros(B, dtype=np.int64)
-        nb = np.zeros(B, dtype=np.int64)
-        ni[:B0] = ni_all[nodes]
-        nb[:B0] = nb_all[nodes]
-        ni_pad = _round_up(int(ni.max()), opts.pad)
-        nb_pad = _round_up(int(nb.max()), opts.pad) if nb.max() > 0 else 0
-        m_pad = ni_pad + nb_pad
+    def _child_sig(kid: int):
+        """HSS layout signature of a child's emitted Schur complement, or None if the
+        child's batch does not emit (structured-consumable) HSS."""
+        bp = batches[int(s_batch[kid])]
+        if bp.compress and bp.cplan is not None and bp.cplan.depth >= 2:
+            return (bp.cplan, bp.rank_cap)
+        return None
 
-        # HSS output plan for compressed batches: the emitted S lives on a perfect
-        # cluster tree split at [int_loc | bnd_loc] (factorization.jl:109)
-        n1 = n2 = None
-        cplan = None
-        if compress and opts.hss and int(nb.max()) > 0:
-            from hsolve.ops.hss import plan_cluster
-
-            n1 = np.zeros(B, dtype=np.int64)
-            n2 = np.zeros(B, dtype=np.int64)
-            n1[:B0] = loc.n_int[nodes]
-            n2[:B0] = loc.n_bnd[nodes]
-            cplan = plan_cluster(int(n1.max()), int(n2.max()), opts.leafsize,
-                                 min_depth=2)
-
-        # fully-structured extend-add: both children carry HSS Schur complements
-        structured = False
-        child_cplans = None
-        if compress and opts.hss and not is_leaf_batch and cplan is not None:
-            lkids = tree.left[nodes]
-            rkids = tree.right[nodes]
-            if cflag[lkids].all() and cflag[rkids].all():
-                # children may span several source batches as long as each side's
-                # sources agree on the HSS layout (cluster plan + rank cap), so the
-                # gathered SchurHss stacks are shape-compatible
-                lb = np.unique(s_batch[lkids]).tolist()
-                rb = np.unique(s_batch[rkids]).tolist()
-
-                def _common_cplan(src_batches):
-                    cps = [(batches[b].cplan, batches[b].rank_cap)
-                           for b in src_batches]
-                    if any(c is None for c, _ in cps) or len(set(cps)) != 1:
-                        return None
-                    return cps[0][0]
-
-                cpl = _common_cplan(lb)
-                cpr = _common_cplan(rb)
-                if cpl is not None and cpr is not None \
-                        and cpl.depth >= 2 and cpr.depth >= 2:
-                    structured = True
-                    child_cplans = (cpl, cpr)
+    for nodes_all, is_leaf_batch, compress in groups:
+        # Per-node structured eligibility: a node assembles structurally when both
+        # children emit HSS Schur complements and each side's sources share one
+        # layout.  Nodes are partitioned by their (left, right) layout signature -
+        # one structured sub-batch per distinct pair, one regular sub-batch for the
+        # rest - so a single node with a dense child (height/level mismatch on
+        # unbalanced trees) no longer drags its whole height group off the
+        # structured path (the reference assembles per node and never densifies on
+        # the HSS path, factorization.jl:126-140).
+        subsets: List[Tuple[np.ndarray, Optional[tuple]]] = []
+        if compress and opts.hss and not is_leaf_batch:
+            sig_groups: Dict[tuple, List[int]] = {}
+            regular: List[int] = []
+            for nd in nodes_all:
+                sl_ = _child_sig(int(tree.left[nd]))
+                sr_ = _child_sig(int(tree.right[nd]))
+                if sl_ is None or sr_ is None:
+                    regular.append(int(nd))
                 else:
-                    from hsolve.utils.logging import logger
-                    logger.warning(
-                        "compressed batch of %d node(s) at height group %d falls "
-                        "off the structured path (child HSS layouts differ across "
-                        "source batches %s/%s); its HSS children will be densified",
-                        B0, bidx, lb, rb)
-
-        if structured:
-            bp = _plan_structured_batch(
-                gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan, child_cplans,
-                levels, (s_batch, s_row), opts, N, bidx)
-            batches.append(bp)
-            s_batch[nodes] = bidx
-            s_row[nodes] = np.arange(B0, dtype=np.int64)
-            continue
-
-        ident_pos = []
-        if B > B0:  # dummy fronts: identity pivot block
-            d = np.arange(ni_pad)
-            for bb in range(B0, B):
-                ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
-        sperm = np.tile(np.arange(nb_pad, dtype=np.int64), (B, 1)) if nb_pad else \
-            np.zeros((B, 0), dtype=np.int64)
-        int_ids = np.full((B, ni_pad), N, dtype=np.int64)
-        bnd_ids = np.full((B, nb_pad), N, dtype=np.int64)
-
-        if not is_leaf_batch:
-            ni1 = loc.n_int[tree.left[nodes]]
-            ni2 = loc.n_int[tree.right[nodes]]
-            nb1 = loc.n_bnd[tree.left[nodes]]
-            nb2 = loc.n_bnd[tree.right[nodes]]
-            sl = ni1 + nb1
-            sr = ni2 + nb2
-            sl_pad = max(_round_up(int(sl.max()), opts.pad), 1)
-            sr_pad = max(_round_up(int(sr.max()), opts.pad), 1)
-            # inverse extend-add maps: front position -> child-S index (or -1), so
-            # the device assembly is a gather, not an XLA scatter
-            map_l = np.full((B, m_pad), -1, dtype=np.int64)
-            map_r = np.full((B, m_pad), -1, dtype=np.int64)
+                    sig_groups.setdefault((sl_, sr_), []).append(int(nd))
+            if regular:
+                subsets.append((np.asarray(regular, dtype=nodes_all.dtype), None))
+            for (sl_, sr_), nds in sig_groups.items():
+                subsets.append((np.asarray(nds, dtype=nodes_all.dtype),
+                                (sl_[0], sr_[0])))
         else:
-            sl_pad = sr_pad = 0
-            map_l = map_r = None
+            subsets.append((nodes_all, None))
 
-        groups_l: Dict[int, List[Tuple[int, int]]] = {}
-        groups_r: Dict[int, List[Tuple[int, int]]] = {}
-        from hsolve.native import run_coo_pooled
+        for nodes, child_cplans in subsets:
+            bidx = len(batches)
+            B0 = len(nodes)
+            B = _round_up(B0, batch_multiple)  # dummy rows (sharding padding)
+            ni = np.zeros(B, dtype=np.int64)
+            nb = np.zeros(B, dtype=np.int64)
+            ni[:B0] = ni_all[nodes]
+            nb[:B0] = nb_all[nodes]
+            ni_pad = _round_up(int(ni.max()), opts.pad)
+            nb_pad = _round_up(int(nb.max()), opts.pad) if nb.max() > 0 else 0
+            m_pad = ni_pad + nb_pad
 
-        # one shared index pool per batch ([ints_0, bnds_0, ints_1, bnds_1, ...]);
-        # block specs are segments of it, assembled with vectorized numpy - the
-        # per-node small-array accumulation dominated symbolic time at scale
-        B0n = len(nodes)
-        pool = np.concatenate(
-            [x for n in nodes for x in (tree.int_idx[n], tree.bnd_idx[n])]
-            or [np.zeros(0, dtype=np.int64)])
-        seg_lens = np.empty(2 * B0n, dtype=np.int64)
-        seg_lens[0::2] = ni[:B0n]
-        seg_lens[1::2] = nb[:B0n]
-        seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
-        o_int = seg_off[0::2]                       # [B0] pool offset of ints
-        o_bnd = seg_off[1::2]                       # [B0] pool offset of bnds
-        base = np.arange(B0n, dtype=np.int64) * (m_pad * m_pad)
-        niB = ni[:B0n]
-        nbB = nb[:B0n]
+            # HSS output plan for compressed batches: the emitted S lives on a
+            # perfect cluster tree split at [int_loc | bnd_loc]
+            # (factorization.jl:109).  Tentative for regular compressed batches -
+            # the consumption post-pass below drops it when no structured consumer
+            # exists (a compress->densify round-trip costs ~interp-constant x tol
+            # accuracy per level and buys nothing).
+            n1 = n2 = None
+            cplan = None
+            if compress and opts.hss and int(nb.max()) > 0:
+                from hsolve.ops.hss import plan_cluster
 
-        def _specs_from(parts):
-            # parts: list of (rs, rl, cs, cl, r0, c0) per block type, each [B0]
-            rs = np.concatenate([p[0] for p in parts])
-            rl = np.concatenate([p[1] for p in parts])
-            cs = np.concatenate([p[2] for p in parts])
-            cl = np.concatenate([p[3] for p in parts])
-            oo = np.concatenate([base + p[4] * m_pad + p[5] for p in parts])
-            st = np.full(len(rs), m_pad, dtype=np.int64)
-            return rs, rl, cs, cl, oo, st
+                n1 = np.zeros(B, dtype=np.int64)
+                n2 = np.zeros(B, dtype=np.int64)
+                n1[:B0] = loc.n_int[nodes]
+                n2[:B0] = loc.n_bnd[nodes]
+                cplan = plan_cluster(int(n1.max()), int(n2.max()), opts.leafsize,
+                                     min_depth=2)
 
-        if gather.ok:
-            # fused per-node gather: one pass over each front row's nonzeros with a
-            # child-tagged column map (branches keep only cross-child entries)
-            from hsolve.native import run_front_gather
+            if child_cplans is not None and cplan is not None:
+                bp = _plan_structured_batch(
+                    gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
+                    child_cplans, levels, (s_batch, s_row), opts, N, bidx)
+                batches.append(bp)
+                s_batch[nodes] = bidx
+                s_row[nodes] = np.arange(B0, dtype=np.int64)
+                continue
 
-            z = np.zeros(B0n, dtype=np.int64)
-            if is_leaf_batch:
-                nseg = 2
-                segs = ((o_int, niB, z, z), (o_bnd, nbB, z, z + ni_pad))
-            else:
-                nseg = 4
-                one = np.ones(B0n, dtype=np.int64)
-                segs = ((o_int, ni1, one, z), (o_int + ni1, ni2, 2 * one, ni1),
-                        (o_bnd, nb1, one, z + ni_pad),
-                        (o_bnd + nb1, nb2, 2 * one, ni_pad + nb1))
-            so = np.empty(nseg * B0n, dtype=np.int64)
-            sl = np.empty_like(so)
-            st_ = np.empty_like(so)
-            sf = np.empty_like(so)
-            for k, (a, b_, c_, d_) in enumerate(segs):
-                so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
-            seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
-            front_pos, front_vals = run_front_gather(
-                gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad)
-        else:
-            if is_leaf_batch:
-                z = np.zeros(B0n, dtype=np.int64)
-                parts = [
-                    (o_int, niB, o_int, niB, z, z),                       # ii
-                    (o_int, niB, o_bnd, nbB, z, z + ni_pad),              # ib
-                    (o_bnd, nbB, o_int, niB, z + ni_pad, z),              # bi
-                    (o_bnd, nbB, o_bnd, nbB, z + ni_pad, z + ni_pad),     # bb
-                ]
-            else:
-                # same-child entries come from the child Schur complements; only the
-                # cross-child couplings are taken from A (factorization.jl:115-123)
-                s_i1, l_i1 = o_int, ni1
-                s_i2, l_i2 = o_int + ni1, ni2
-                s_b1, l_b1 = o_bnd, nb1
-                s_b2, l_b2 = o_bnd + nb1, nb2
-                z = np.zeros(B0n, dtype=np.int64)
-                off = {"i1": z, "i2": ni1, "b1": z + ni_pad, "b2": ni_pad + nb1}
-                seg = {"i1": (s_i1, l_i1), "i2": (s_i2, l_i2),
-                       "b1": (s_b1, l_b1), "b2": (s_b2, l_b2)}
-                parts = [
-                    (seg[rn][0], seg[rn][1], seg[cn][0], seg[cn][1], off[rn],
-                     off[cn])
-                    for rn, cn in (("i1", "i2"), ("i2", "i1"), ("i1", "b2"),
-                                   ("i2", "b1"), ("b1", "i2"), ("b2", "i1"),
-                                   ("b1", "b2"), ("b2", "b1"))]
-            front_pos, front_vals = run_coo_pooled(gather, pool,
-                                                   *_specs_from(parts))
+            _plan_regular_batch(
+                gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad, m_pad,
+                is_leaf_batch, compress, cplan, n1, n2, levels, s_batch, s_row,
+                batches, opts, N, bidx)
 
-        # vectorized per-batch fills (host symbolic time is part of the north-star
-        # setup metric; per-node python loops dominated it at scale)
-        cols_i = np.arange(ni_pad, dtype=np.int64)
-        poolx = np.concatenate([pool, [N]])
-        gi = np.minimum(o_int[:, None] + cols_i[None, :], len(pool))
-        int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
-        if nb_pad:
-            cols_b = np.arange(nb_pad, dtype=np.int64)
-            gb = np.minimum(o_bnd[:, None] + cols_b[None, :], len(pool))
-            bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
-            # sperm rows are [int_loc; bnd_loc] per node
-            lpool = np.concatenate(
-                [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
-                or [np.zeros(0, dtype=np.int64)])
-            l1 = loc.n_int[nodes]
-            l2 = loc.n_bnd[nodes]
-            lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
-            lpx = np.concatenate([lpool, [0]])
-            gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
-            sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
-                                   sperm[:B0n])
-
-        if not is_leaf_batch:
-            # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
-            # placements are two contiguous runs per child)
-            cols_m = np.arange(m_pad, dtype=np.int64)[None, :]
-            in_i1 = cols_m < ni1[:, None]
-            in_i2 = (cols_m >= ni1[:, None]) & (cols_m < (ni1 + ni2)[:, None])
-            in_b1 = (cols_m >= ni_pad) & (cols_m < (ni_pad + nb1)[:, None])
-            in_b2 = ((cols_m >= (ni_pad + nb1)[:, None])
-                     & (cols_m < (ni_pad + nb1 + nb2)[:, None]))
-            map_l[:B0n] = np.where(in_i1, cols_m,
-                                   np.where(in_b1, ni1[:, None] + cols_m - ni_pad, -1))
-            map_r[:B0n] = np.where(in_i2, cols_m - ni1[:, None],
-                                   np.where(in_b2, ni2[:, None] + cols_m
-                                            - ni_pad - nb1[:, None], -1))
-            for kids, gd in ((tree.left[nodes], groups_l),
-                             (tree.right[nodes], groups_r)):
-                for sb in np.unique(s_batch[kids]):
-                    m = np.flatnonzero(s_batch[kids] == sb)
-                    gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
-
-        # identity on the padded part of the pivot block keeps the batched LU
-        # well-defined (the padded rows/cols stay decoupled)
-        pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
-            + cols_i[None, :] * (m_pad + 1)
-        ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
-        s_batch[nodes] = bidx
-        s_row[nodes] = np.arange(B0n, dtype=np.int64)
-        if ident_pos:
-            ip = np.concatenate(ident_pos).ravel()
-            front_pos = np.concatenate([front_pos, ip])
-            front_vals = np.concatenate([front_vals,
-                                         np.ones(len(ip), dtype=front_vals.dtype)])
-
-        def _mk_groups(gd) -> Tuple[ChildGroup, ...]:
-            return tuple(ChildGroup(sb, src, dst)
-                         for sb, (src, dst) in sorted(gd.items()))
-
-        lev_arr = np.zeros(B, dtype=np.int64)
-        lev_arr[:B0] = levels[nodes]
-        rank_cap = 0
-        if compress and nb_pad > 0:
-            cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
-            rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
-        batches.append(BatchPlan(
-            node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,
-            ni=ni, nb=nb, batch_size=B, front_pos=front_pos, front_vals=front_vals,
-            sperm=sperm, int_ids=int_ids,
-            bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
-            map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
-            rank_cap=rank_cap, cplan=cplan if compress and rank_cap > 0 else None,
-            n1=n1, n2=n2,
-            groups_l=_mk_groups(groups_l), groups_r=_mk_groups(groups_r)))
+    # consumption post-pass: keep HSS emission only where a structured batch (or the
+    # HSS root solve) actually consumes it
+    consumed = set()
+    for bp in batches:
+        if bp.structured:
+            for g in bp.groups_l + bp.groups_r:
+                consumed.add(g.src_batch)
+    if len(tree.bnd_idx[tree.root]) > 0:
+        consumed.add(len(batches) - 1)   # RootHss consumes the top stack directly
+    for i, bp in enumerate(batches):
+        if bp.cplan is not None and not bp.structured and i not in consumed:
+            bp.cplan = None
 
     nb_root = len(tree.bnd_idx[tree.root])
     # device index arrays go out as int32 (TPU-native index width; also keeps the

@@ -25,6 +25,7 @@ GEMM, or an HSS level sweep.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -37,6 +38,14 @@ from hsolve.ops.hss import (ClusterPlan, Hss, HssSolver, generators,
                             hss_compress_dense, hss_entries, hss_factor, hss_matvec,
                             hss_randcompress_batched, hss_solve, hss_sub, hss_todense)
 from hsolve.ops.lowrank import rand_lowrank
+
+# Internal tightening of the HSS compression tolerances relative to the user's
+# atol/rtol contract.  The interpolative decompositions deliver ~2-5x the requested
+# truncation error (standard ID constants), and pivot-block inversion amplifies
+# whatever error the chain carries by cond(D); compressing internally at tol/4 makes
+# the *delivered* preconditioner error track the user tolerance (the reference's
+# 0.5-factor on the transforms, factorization.jl:99-100, plays the same role).
+_SAFETY = 0.25
 
 
 @dataclasses.dataclass
@@ -81,7 +90,8 @@ def transition_compress(S_perm: jax.Array, n1: jax.Array, n2: jax.Array,
         Spad = Spad[:npd, :npd]
         covered = jnp.zeros(npd + 1, dtype=S.dtype).at[emb].set(1.0, mode="drop")[:npd]
         Spad = Spad + jnp.diag(1.0 - covered)
-        return hss_compress_dense(Spad, cplan, atol, rtol, cap)
+        return hss_compress_dense(Spad, cplan, _SAFETY * atol, _SAFETY * rtol,
+                                  cap)
 
     h = jax.vmap(per_node)(S_perm, n1, n2)
     return SchurHss(h=h, n1=n1, n2=n2)
@@ -234,22 +244,18 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
     ci12, ci21 = cross["ci12"], cross["ci21"]
     W = jax.vmap(hss_solve)(solver1, ci12)              # [B, h1, h2]
 
-    s22_ops = (A11_2, ci21, W)
-
-    def s22_sample(op, X, adjoint):
-        A2, C21, Wn = op
-        if not adjoint:
-            return hss_matvec(A2, X) - C21 @ (Wn @ X)
-        return hss_matvec(A2, X, adjoint=True) - jnp.swapaxes(Wn, -1, -2) @ (
-            jnp.swapaxes(C21, -1, -2) @ X)
-
-    def s22_blocks(op, rows, cols):
-        A2, C21, Wn = op
-        return hss_entries(A2, rows, cols) - C21[rows, :] @ Wn[:, cols]
-
-    hssS22, maxed22 = hss_randcompress_batched(
-        s22_sample, s22_blocks, s22_ops, A11_2.plan, jax.random.fold_in(key, 101),
-        atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
+    # inner Schur complement S22' = H2 - C21 H1^{-1} C12, computed DETERMINISTICALLY:
+    # W = H1^{-1} C12 is already dense, so one [h2,h1]x[h1,h2] GEMM (MXU-shaped) plus
+    # an H2 reconstruction gives the exact S22', then a deterministic interpolative
+    # compression at the user tolerance rebuilds it as HSS (the reference's
+    # ``recompress!`` of the inner Schur, blockmatrix.jl:121-130).  A randomized
+    # sampled S22' was measured to inject cond(S22')-amplified noise into every
+    # pivot solve - the dominant per-level error of the structured chain.
+    S22d = jax.vmap(hss_todense)(A11_2) - ci21 @ W
+    hssS22 = jax.vmap(
+        lambda M: hss_compress_dense(M, A11_2.plan, _SAFETY * atol, _SAFETY * rtol,
+                                     rank_cap))(S22d)
+    maxed22 = jnp.zeros((sh1.n1.shape[0],), jnp.int32)
     solver22 = jax.vmap(hss_factor)(hssS22)
 
     lev = StructuredLevel(
@@ -338,9 +344,19 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
                     & (rows[:, None] == cols[None, :])).astype(val.dtype)
         return jnp.where(valid, val, pad_diag)
 
-    hssS, maxedS = hss_randcompress_batched(
-        s_sample, s_blocks, s_ops, cplan, jax.random.fold_in(key, 202),
-        atol, rtol, rank_cap, kest=kest, stepsize=max(stepsize, 8))
+    if os.environ.get("HS_DEBUG_DENSE_S"):
+        # debug bisect: exact dense parent Schur + deterministic compression
+        eyeS = jnp.eye(cplan.n_pad, dtype=dtype)
+        Sd = jax.vmap(lambda op: s_sample(op, eyeS, False))(s_ops)
+        hssS = jax.vmap(
+            lambda M: hss_compress_dense(M, cplan, _SAFETY * atol, _SAFETY * rtol,
+                                         rank_cap))(Sd)
+        maxedS = jnp.zeros((sh1.n1.shape[0],), jnp.int32)
+    else:
+        hssS, maxedS = hss_randcompress_batched(
+            s_sample, s_blocks, s_ops, cplan, jax.random.fold_in(key, 202),
+            _SAFETY * atol, _SAFETY * rtol, rank_cap, kest=kest,
+            stepsize=max(stepsize, 8))
     lev = dataclasses.replace(lev, rank_maxed=jnp.maximum(maxed22, maxedS),
                               rank_cap=rank_cap)
     return lev, SchurHss(h=hssS, n1=n1, n2=n2)

@@ -57,6 +57,7 @@ def run_config(problem, n):
     out = {}
     for mode, opts in (("exact", dict(swlevel=0)), ("compressed", COMPRESSED_OPTS),
                        ("compressed_active", ACTIVE_OPTS)):
+        hsolve.factor(A, tree, **opts)  # warm-up: jit compiles excluded from timing
         t0 = time.perf_counter()
         F = hsolve.factor(A, tree, **opts)
         t_factor = time.perf_counter() - t0
@@ -81,6 +82,8 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hsolve_test_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     results = {}
     for problem, n in CONFIGS:

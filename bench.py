@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--leafmax", type=int, default=100)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--swlevel", type=int, default=0)
+    ap.add_argument("--swsize", type=int, default=1)
+    ap.add_argument("--atol", type=float, default=None,
+                    help="compression tolerance (default: SolverOptions default)")
     ap.add_argument("--reltol", type=float, default=1e-9)
     ap.add_argument("--maxiter", type=int, default=60)
     ap.add_argument("--damping", type=float, default=0.0,
@@ -140,7 +143,9 @@ def main():
     else:
         fdtype = jnp.float32 if on_tpu else jnp.float64
     _FD[0] = fdtype
-    opts = hsolve.SolverOptions(swlevel=args.swlevel)
+    opts = hsolve.SolverOptions(swlevel=args.swlevel, swsize=args.swsize)
+    if args.atol is not None:
+        opts = opts.replace(atol=args.atol, rtol=args.atol)
 
     # symbolic phase runs once per problem; its (host) time counts toward setup,
     # while jit compilation is excluded via warm-up reps (standard accelerator
@@ -216,6 +221,21 @@ def main():
     for rep in range(args.reps):
         reps_out.append(run_once())
 
+    # watchdog: the deferred diagnostics fetch below is the one place a dropped
+    # remote-TPU link blocks forever (observed in the wild); fail loudly with a
+    # diagnosable exit instead of hanging the whole benchmark run
+    import threading
+
+    def _fetch_watchdog():
+        log("FATAL: device->host fetch did not complete within 300s "
+            "(remote TPU link dropped?); aborting")
+        import os as _os
+        _os._exit(3)
+
+    wd = threading.Timer(300.0, _fetch_watchdog)
+    wd.daemon = True
+    wd.start()
+
     # --- baseline proxy: single-core scipy SuperLU direct solve (after our reps:
     # see the allocator-fragmentation note above) ---
     import scipy.sparse.linalg as spla
@@ -242,6 +262,7 @@ def main():
         if best_total is None or total < best_total:
             best_total, best = total, (t_setup, t_solve, info, res)
 
+    wd.cancel()
     t_setup, t_solve, info, res = best
     from hsolve.utils.profiling import factor_flops, roofline_report
 
@@ -250,6 +271,10 @@ def main():
     log("roofline: " + json.dumps({k: v for k, v in roofline.items()
                                    if k != "per_level"}))
     tag = f"_damp{args.damping:g}" if args.damping else ""
+    if args.swlevel != 0:
+        tag += f"_sw{args.swlevel}"
+        if args.atol is not None:
+            tag += f"_tol{args.atol:g}"
     result = {
         "metric": f"{args.problem}_h{args.n}{tag}_setup_plus_gmres_solve",
         "value": round(best_total, 4),
@@ -270,6 +295,10 @@ def main():
             "speed_of_light_s": roofline["speed_of_light_s"],
             "baseline_proxy": "scipy_splu_1core_seconds",
             "baseline_proxy_s": round(t_base, 4),
+            # rep-0 wall times include jit compilation (cold start; warm-cache
+            # reruns of the same shapes skip it via the persistent compile cache)
+            "first_rep_setup_s": round(reps_out[0][0], 4),
+            "first_rep_solve_s": round(reps_out[0][1], 4),
             "device": f"{dev.platform}",
         },
     }

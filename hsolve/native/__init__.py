@@ -315,10 +315,12 @@ def tree_postorder_native(left: np.ndarray, right: np.ndarray, root: int,
 
 def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
                      seg_off: np.ndarray, seg_len: np.ndarray, seg_tag: np.ndarray,
-                     seg_fo: np.ndarray, node_base: np.ndarray, m_pad: int):
+                     seg_fo: np.ndarray, node_base: np.ndarray, m_pad: int,
+                     copy: bool = True):
     """Fused per-node front COO gather (one pass over each front row's nonzeros;
     leaves keep all mapped entries, branches only cross-child ones).  Returns
-    (pos, vals)."""
+    (pos, vals); with ``copy=False`` they are views into a per-context workspace,
+    valid only until the next gather call on the same context."""
     g = gather
     dt = np.complex128 if g.iscomplex else np.float64
     args = [np.ascontiguousarray(a, dtype=np.int64)
@@ -337,7 +339,9 @@ def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
     n = fn(g.indptr, g.indices, g.data, args[0], args[1], args[2], args[3],
            args[4], args[5], args[6], len(node_base), m_pad, g.colmap, g._coltag,
            pos, val)
-    return pos[:n].copy(), val[:n].copy()
+    if copy:
+        return pos[:n].copy(), val[:n].copy()
+    return pos[:n], val[:n]
 
 
 def available() -> bool:

@@ -326,7 +326,7 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
             so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
         seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
         front_pos, front_vals = run_front_gather(
-            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad)
+            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad, copy=False)
     else:
         if is_leaf_batch:
             z = np.zeros(B0n, dtype=np.int64)
@@ -405,11 +405,20 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
     s_batch[nodes] = bidx
     s_row[nodes] = np.arange(B0n, dtype=np.int64)
-    if ident_pos:
-        ip = np.concatenate(ident_pos).ravel()
-        front_pos = np.concatenate([front_pos, ip])
-        front_vals = np.concatenate([front_vals,
-                                     np.ones(len(ip), dtype=front_vals.dtype)])
+    # one fused pass: gathered COO (a workspace view) + identity padding, written
+    # straight into the final (int32 where possible) buffers - the previous
+    # copy -> concatenate -> astype chain made three passes over multi-MB arrays
+    ip = np.concatenate([a.ravel() for a in ident_pos]) if ident_pos else \
+        np.zeros(0, dtype=np.int64)
+    n0 = len(front_pos)
+    ptype = np.int32 if B * m_pad * m_pad < 2 ** 31 else np.int64
+    fp = np.empty(n0 + len(ip), dtype=ptype)
+    fp[:n0] = front_pos
+    fp[n0:] = ip
+    fv = np.empty(n0 + len(ip), dtype=front_vals.dtype)
+    fv[:n0] = front_vals
+    fv[n0:] = 1.0
+    front_pos, front_vals = fp, fv
 
     def _mk_groups(gd) -> Tuple[ChildGroup, ...]:
         return tuple(ChildGroup(sb, src, dst)
@@ -598,10 +607,10 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     for bp in batches:
         for f in ("sperm", "int_ids", "bnd_ids", "map_l", "map_r", "smap"):
             v = getattr(bp, f)
-            if v is not None:
+            if v is not None and v.dtype != np.int32:
                 setattr(bp, f, v.astype(np.int32))
-        if bp.front_pos is not None and (len(bp.front_pos) == 0
-                                         or bp.front_pos.max() < 2 ** 31):
+        if bp.front_pos is not None and bp.front_pos.dtype != np.int32 and (
+                len(bp.front_pos) == 0 or bp.front_pos.max() < 2 ** 31):
             bp.front_pos = bp.front_pos.astype(np.int32)
     return Plan(N=N, perm=perm, batches=batches, tree_depth=depth, nb_root=nb_root,
                 A_perm=A_perm, tree=tree, loc=loc, opts=opts,

@@ -1,0 +1,105 @@
+"""Exact-vs-compressed crossover sweep on the chip (VERDICT round-1, item 2).
+
+Runs ``bench.py`` for helmholtz2d at a grid of mesh sizes, exact (``swlevel=0``)
+vs compressed (``swlevel=-2``, preconditioner tolerance ``--atol``), and writes
+``CROSSOVER.md`` + ``crossover.json`` with total time, nnz/s and GMRES iteration
+counts per size.  TPU-exclusive: do not run other python processes concurrently.
+
+Usage: python scripts/crossover.py [--sizes 128,256,384,512] [--atol 1e-4]
+       python scripts/crossover.py --assemble DIR   # re-use prior bench JSONs
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_grid(sizes, atol, outdir):
+    os.makedirs(outdir, exist_ok=True)
+    for n in sizes:
+        for mode, extra in (("exact", []),
+                            ("comp", ["--swlevel", "-2", "--atol", str(atol)])):
+            path = os.path.join(outdir, f"h{n}_{mode}.json")
+            if os.path.exists(path) and os.path.getsize(path):
+                continue
+            cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--n", str(n)] \
+                + extra
+            print("::", " ".join(cmd), flush=True)
+            with open(path, "w") as f:
+                subprocess.run(cmd, stdout=f, check=True, timeout=3600)
+    return outdir
+
+
+def assemble(outdir):
+    rows = []
+    for name in sorted(os.listdir(outdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(outdir, name)) as f:
+            txt = f.read().strip()
+        if not txt:
+            continue
+        d = json.loads(txt.splitlines()[-1])
+        n = int(name.split("_")[0][1:])
+        mode = "compressed" if "_comp" in name else "exact"
+        det = d["detail"]
+        rows.append({
+            "h": n, "mode": mode, "N": None, "total_s": d["value"],
+            "setup_s": det["setup_s"], "solve_s": det["solve_s"],
+            "plan_s": det["plan_s"], "iters": det["gmres_iters"],
+            "relres": det["relres"], "nnz_per_s": det["nnz_per_s"],
+            "vs_baseline": d["vs_baseline"],
+            "baseline_s": det["baseline_proxy_s"],
+        })
+    rows.sort(key=lambda r: (r["h"], r["mode"]))
+    with open(os.path.join(ROOT, "crossover.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+    lines = [
+        "# CROSSOVER — exact vs compressed on the chip (helmholtz2d, best of 3 reps)",
+        "",
+        "`bench.py` protocol (setup = symbolic plan + numeric factor, solve = "
+        "right-preconditioned",
+        "GMRES(30) to reltol 1e-9, f64 outer / f32 factorization on the TPU); "
+        "compressed =",
+        "`swlevel=-2` with preconditioner tolerance 1e-4.  `vs_baseline` is against "
+        "a single-core",
+        "scipy SuperLU factor+solve of the same system.",
+        "",
+        "| h | mode | total s | plan s | factor s | solve s | iters | nnz/s | "
+        "vs_baseline |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['h']} | {r['mode']} | {r['total_s']:.4f} | {r['plan_s']:.4f} | "
+            f"{r['setup_s'] - r['plan_s']:.4f} | {r['solve_s']:.4f} | {r['iters']} | "
+            f"{r['nnz_per_s']:.3g} | {r['vs_baseline']} |")
+    lines.append("")
+    with open(os.path.join(ROOT, "CROSSOVER.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote CROSSOVER.md + crossover.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="128,256,384,512")
+    ap.add_argument("--atol", type=float, default=1e-4)
+    ap.add_argument("--assemble", default=None,
+                    help="directory of prior bench JSONs to assemble")
+    ap.add_argument("--outdir", default="/tmp/hsolve_crossover")
+    args = ap.parse_args()
+    if args.assemble:
+        assemble(args.assemble)
+        return
+    sizes = [int(x) for x in args.sizes.split(",")]
+    run_grid(sizes, args.atol, args.outdir)
+    assemble(args.outdir)
+
+
+if __name__ == "__main__":
+    main()

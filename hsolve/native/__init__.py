@@ -47,13 +47,15 @@ def _load():
     except OSError:
         _lib = False
         return _lib
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
-    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
-    c128p = np.ctypeslib.ndpointer(np.complex128, flags="C")
-    # out pointers are unvalidated (strided row views are passed with an explicit
-    # element stride; the inner axis is always unit-stride)
-    f64o = np.ctypeslib.ndpointer(np.float64)
-    c128o = np.ctypeslib.ndpointer(np.complex128)
+    # raw-pointer argtypes: callers pass ``arr.ctypes.data`` (contiguity is the
+    # caller's contract, enforced with ascontiguousarray at the build sites) -
+    # ndpointer.from_param marshalling cost ~5us/arg and dominated small-batch
+    # planner calls at ~700 pointer args per plan
+    i64p = ctypes.c_void_p
+    f64p = ctypes.c_void_p
+    c128p = ctypes.c_void_p
+    f64o = ctypes.c_void_p
+    c128o = ctypes.c_void_p
     lib.csr_gather_f64.argtypes = [i64p, i64p, f64p, i64p, ctypes.c_int64, i64p,
                                    ctypes.c_int64, i64p, f64o, ctypes.c_int64]
     lib.csr_gather_c128.argtypes = [i64p, i64p, c128p, i64p, ctypes.c_int64, i64p,
@@ -93,12 +95,22 @@ def _load():
     lib.csr_gather_front_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p,
                                          i64p, i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, i64p, i64p, i64p, f64o]
+    lib.symfact_pooled.restype = ctypes.c_int64
+    lib.symfact_pooled.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                                   i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
+                                   i64p, ctypes.c_int64, i64p, i64p, i64p, i64p,
+                                   ctypes.c_int64, i64p, i64p, i64p]
     lib.csr_gather_front_c128.restype = ctypes.c_int64
     lib.csr_gather_front_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p, i64p,
                                           i64p, i64p, i64p, ctypes.c_int64,
                                           ctypes.c_int64, i64p, i64p, i64p, c128o]
     _lib = lib
     return _lib
+
+
+def _pt(a: np.ndarray) -> int:
+    """Raw data pointer of a (contiguous-enough) numpy array for the c_void_p ABI."""
+    return a.ctypes.data
 
 
 class CsrGather:
@@ -118,6 +130,10 @@ class CsrGather:
                 A.data, dtype=np.complex128 if self.iscomplex else np.float64)
             self.colmap = np.full(A.shape[1], -1, dtype=np.int64)
             self.fn = _lib.csr_gather_c128 if self.iscomplex else _lib.csr_gather_f64
+            # pointer tuple for the hot native calls (attribute->ctypes round
+            # trips cost ~1.5us each; these four ride along on every call)
+            self.csr_ptrs = (_pt(self.indptr), _pt(self.indices), _pt(self.data))
+            self.colmap_ptr = _pt(self.colmap)
 
     def extract(self, rows: np.ndarray, cols: np.ndarray, out=None) -> np.ndarray:
         """Dense A[rows][:, cols] in the given order; ``out`` may be a preallocated
@@ -140,10 +156,10 @@ class CsrGather:
             buf = out
             stride = out.strides[0] // out.itemsize
         if nr and nc:
-            self.fn(self.indptr, self.indices, self.data,
-                    np.ascontiguousarray(rows, dtype=np.int64), nr,
-                    np.ascontiguousarray(cols, dtype=np.int64), nc,
-                    self.colmap, buf, stride)
+            rows = np.ascontiguousarray(rows, dtype=np.int64)
+            cols = np.ascontiguousarray(cols, dtype=np.int64)
+            self.fn(*self.csr_ptrs, _pt(rows), nr, _pt(cols), nc,
+                    self.colmap_ptr, _pt(buf), stride)
         return out
 
 
@@ -196,8 +212,9 @@ class BlockGatherBuilder:
         val = np.empty(max(bound, 1), dtype=dt)
         fn = _lib.csr_gather_coo_many_c128 if g.iscomplex else \
             _lib.csr_gather_coo_many_f64
-        n = fn(g.indptr, g.indices, g.data, rows_cat, row_ptr, cols_cat, col_ptr,
-               len(offs), g.colmap, offs, strides, pos, val)
+        n = fn(*g.csr_ptrs, _pt(rows_cat), _pt(row_ptr), _pt(cols_cat),
+               _pt(col_ptr), len(offs), g.colmap_ptr, _pt(offs), _pt(strides),
+               _pt(pos), _pt(val))
         return pos[:n].copy(), val[:n].copy()
 
     def run(self, out: np.ndarray, out_stride: int) -> None:
@@ -220,8 +237,8 @@ class BlockGatherBuilder:
         cols_cat = np.concatenate(self.cols)
         offs = np.asarray(self.offs, dtype=np.int64)
         fn = _lib.csr_gather_many_c128 if g.iscomplex else _lib.csr_gather_many_f64
-        fn(g.indptr, g.indices, g.data, rows_cat, row_ptr, cols_cat, col_ptr,
-           len(offs), g.colmap, out, offs, out_stride)
+        fn(*g.csr_ptrs, _pt(rows_cat), _pt(row_ptr), _pt(cols_cat), _pt(col_ptr),
+           len(offs), g.colmap_ptr, _pt(out), _pt(offs), out_stride)
 
 
 def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
@@ -266,8 +283,8 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
     pos, val = ws
     fn = _lib.csr_gather_coo_pooled_c128 if g.iscomplex else \
         _lib.csr_gather_coo_pooled_f64
-    n = fn(g.indptr, g.indices, g.data, pool, args[0], args[1], args[2], args[3],
-           args[4], args[5], nblocks, g.colmap, pos, val)
+    n = fn(*g.csr_ptrs, _pt(pool), *(_pt(a) for a in args), nblocks,
+           g.colmap_ptr, _pt(pos), _pt(val))
     return pos[:n].copy(), val[:n].copy()
 
 
@@ -293,7 +310,8 @@ def csr_permute(A, perm: np.ndarray):
     out_indices = np.empty(A.nnz, dtype=np.int64)
     out_data = np.empty(A.nnz, dtype=data.dtype)
     fn = _lib.csr_permute_c128 if iscx else _lib.csr_permute_f64
-    fn(indptr, indices, data, n, perm, relabel, out_indptr, out_indices, out_data)
+    fn(_pt(indptr), _pt(indices), _pt(data), n, _pt(perm), _pt(relabel),
+       _pt(out_indptr), _pt(out_indices), _pt(out_data))
     out = sp.csr_matrix((out_data, out_indices, out_indptr), shape=A.shape)
     out.has_sorted_indices = False
     return out
@@ -309,24 +327,28 @@ def tree_postorder_native(left: np.ndarray, right: np.ndarray, root: int,
     right = np.ascontiguousarray(right, dtype=np.int64)
     stack = np.empty(2 * nnodes + 2, dtype=np.int64)
     out = np.empty(nnodes, dtype=np.int64)
-    c = _lib.tree_postorder(left, right, int(root), nnodes, stack, out)
+    c = _lib.tree_postorder(_pt(left), _pt(right), int(root), nnodes, _pt(stack),
+                            _pt(out))
     return out[:c]
 
 
 def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
                      seg_off: np.ndarray, seg_len: np.ndarray, seg_tag: np.ndarray,
                      seg_fo: np.ndarray, node_base: np.ndarray, m_pad: int,
-                     copy: bool = True):
+                     copy: bool = True, bound: int = None):
     """Fused per-node front COO gather (one pass over each front row's nonzeros;
     leaves keep all mapped entries, branches only cross-child ones).  Returns
     (pos, vals); with ``copy=False`` they are views into a per-context workspace,
-    valid only until the next gather call on the same context."""
+    valid only until the next gather call on the same context.  ``bound``: caller-
+    provided emitted-pair upper bound (nnz of the gathered rows); computed from the
+    pool when absent."""
     g = gather
     dt = np.complex128 if g.iscomplex else np.float64
     args = [np.ascontiguousarray(a, dtype=np.int64)
             for a in (pool, seg_ptr, seg_off, seg_len, seg_tag, seg_fo, node_base)]
-    counts = g.indptr[1:] - g.indptr[:-1]
-    bound = int(np.sum(counts[args[0]])) if len(args[0]) else 0
+    if bound is None:
+        counts = g.indptr[1:] - g.indptr[:-1]
+        bound = int(np.sum(counts[args[0]])) if len(args[0]) else 0
     ws = getattr(g, "_coo_ws", None)
     if ws is None or len(ws[0]) < bound or ws[1].dtype != dt:
         cap_n = max(int(bound * 1.25), 1)
@@ -336,12 +358,45 @@ def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
     if not hasattr(g, "_coltag"):
         g._coltag = np.zeros(g.A.shape[1], dtype=np.int64)
     fn = _lib.csr_gather_front_c128 if g.iscomplex else _lib.csr_gather_front_f64
-    n = fn(g.indptr, g.indices, g.data, args[0], args[1], args[2], args[3],
-           args[4], args[5], args[6], len(node_base), m_pad, g.colmap, g._coltag,
-           pos, val)
+    n = fn(*g.csr_ptrs, *(_pt(a) for a in args), len(node_base), m_pad,
+           g.colmap_ptr, _pt(g._coltag), _pt(pos), _pt(val))
     if copy:
         return pos[:n].copy(), val[:n].copy()
     return pos[:n], val[:n]
+
+
+def symfact_pooled_native(left: np.ndarray, right: np.ndarray, root: int,
+                          order: np.ndarray, iptr: np.ndarray, ipool: np.ndarray,
+                          bptr: np.ndarray, bpool: np.ndarray, ndofs: int):
+    """Pooled symbolic factorization (see gather.cpp symfact_pooled); None if the
+    native library is unavailable.  Returns (vals_pool, vals_off, n_int, n_bnd,
+    loc_pool, loc_off, loc_icnt) with every node's [int; bnd] / [int_loc; bnd_loc]
+    contiguous in the respective pool."""
+    if not _load():
+        return None
+    n = len(left)
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (left, right, order, iptr, ipool, bptr, bpool)]
+    elim = np.empty(ndofs, dtype=np.int64)
+    vals_cap = int(iptr[-1] + bptr[-1])
+    loc_cap = int(bptr[-1])
+    vals_pool = np.empty(max(vals_cap, 1), dtype=np.int64)
+    loc_pool = np.empty(max(loc_cap, 1), dtype=np.int64)
+    vals_off = np.empty(n, dtype=np.int64)
+    n_int = np.empty(n, dtype=np.int64)
+    n_bnd = np.empty(n, dtype=np.int64)
+    loc_off = np.empty(n, dtype=np.int64)
+    loc_icnt = np.empty(n, dtype=np.int64)
+    rc = _lib.symfact_pooled(
+        _pt(args[0]), _pt(args[1]), int(root), n, _pt(args[2]), _pt(args[3]),
+        _pt(args[4]), _pt(args[5]), _pt(args[6]), ndofs, _pt(elim), vals_cap,
+        _pt(vals_pool), _pt(vals_off), _pt(n_int), _pt(n_bnd), loc_cap,
+        _pt(loc_pool), _pt(loc_off), _pt(loc_icnt))
+    if rc != 0:
+        raise ValueError(
+            "symfact: tree index sets inconsistent (a branch's int+bnd does not "
+            "match the union of its children's boundaries); run NDTree.validate()")
+    return vals_pool, vals_off, n_int, n_bnd, loc_pool, loc_off, loc_icnt
 
 
 def available() -> bool:

@@ -375,6 +375,98 @@ int64_t csr_gather_front_c128(const int64_t *indptr, const int64_t *indices,
                                colmap, coltag, pos_out, val_out);
 }
 
+// Pooled symbolic factorization (the C++ replacement for the per-node numpy
+// symfact, parity with symfact!, nesteddissection.jl:29-69).  Every node's final
+// index sets are emitted CONTIGUOUSLY into two pools:
+//   vals_pool[vals_off[i] : +n_int[i]+n_bnd[i]]  = [int_idx(i); bnd_idx(i)]
+//   loc_pool [loc_off[i]  : +m_i]                = [int_loc(i); bnd_loc(i)]
+// (m_i = len(bnd(i)) for non-roots; the root's loc segment is the identity of
+// length len(bnd(root))).  Contiguous [int; bnd] order is exactly the planner's
+// front layout, so the scheduler indexes the pools directly instead of
+// re-concatenating ~2n small arrays per plan.  A DOF of a child's boundary is in
+// the parent's int iff its eliminating node (from the INPUT int sets, which
+// partition the DOFs) is the parent.
+//
+// order: postorder node walk (children first).  in_iptr/in_ipool, in_bptr/in_bpool:
+// CSR layout of the input tree's int/bnd sets.  elim: int64 workspace of size
+// >= ndofs.  Outputs must be preallocated: vals_pool (sum of all int+bnd lens,
+// leaves included), vals_off/n_int/n_bnd [n], loc_pool (sum of all bnd lens +
+// root bnd), loc_off/loc_icnt [n].
+// Returns 0 on success, -1 if a pool capacity would be exceeded (malformed tree:
+// the caller sizes the pools from the input sets, which a valid tree preserves).
+int64_t symfact_pooled(const int64_t *left, const int64_t *right, int64_t root,
+                       int64_t n, const int64_t *order, const int64_t *in_iptr,
+                       const int64_t *in_ipool, const int64_t *in_bptr,
+                       const int64_t *in_bpool, int64_t ndofs, int64_t *elim,
+                       int64_t vals_cap, int64_t *vals_pool, int64_t *vals_off,
+                       int64_t *n_int, int64_t *n_bnd, int64_t loc_cap,
+                       int64_t *loc_pool, int64_t *loc_off, int64_t *loc_icnt) {
+  for (int64_t d = 0; d < ndofs; ++d) elim[d] = -1;
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = in_iptr[i]; p < in_iptr[i + 1]; ++p) elim[in_ipool[p]] = i;
+
+  int64_t vc = 0, lc = 0;  // pool cursors
+  for (int64_t t = 0; t < n; ++t) {
+    const int64_t i = order[t];
+    const int64_t l = left[i], r = right[i];
+    vals_off[i] = vc;
+    if (l < 0) {  // leaf: copy input sets verbatim
+      const int64_t ni = in_iptr[i + 1] - in_iptr[i];
+      const int64_t nb = in_bptr[i + 1] - in_bptr[i];
+      if (vc + ni + nb > vals_cap) return -1;
+      for (int64_t p = 0; p < ni; ++p) vals_pool[vc + p] = in_ipool[in_iptr[i] + p];
+      for (int64_t p = 0; p < nb; ++p)
+        vals_pool[vc + ni + p] = in_bpool[in_bptr[i] + p];
+      n_int[i] = ni;
+      n_bnd[i] = nb;
+      vc += ni + nb;
+      continue;
+    }
+    // branch: partition each child's CURRENT bnd (already in vals_pool) by
+    // elim[dof] == i, emitting child loc segments and the parent's new sets
+    int64_t icnt_total = 0;
+    const int64_t kids[2] = {l, r};
+    if (vc + n_bnd[l] + n_bnd[r] > vals_cap ||
+        lc + n_bnd[l] + n_bnd[r] > loc_cap)
+      return -1;
+    for (int k = 0; k < 2; ++k) {
+      const int64_t c = kids[k];
+      const int64_t *src = vals_pool + vals_off[c] + n_int[c];
+      const int64_t m = n_bnd[c];
+      loc_off[c] = lc;
+      int64_t ic = 0;
+      for (int64_t j = 0; j < m; ++j)
+        if (elim[src[j]] == i) loc_pool[lc + ic++] = j;
+      int64_t bc = ic;
+      for (int64_t j = 0; j < m; ++j)
+        if (elim[src[j]] != i) loc_pool[lc + bc++] = j;
+      loc_icnt[c] = ic;
+      icnt_total += ic;
+      lc += m;
+    }
+    // parent values: [ivals_l; ivals_r; bvals_l; bvals_r]
+    int64_t pi = vc, pb = vc + icnt_total;
+    for (int k = 0; k < 2; ++k) {
+      const int64_t c = kids[k];
+      const int64_t *src = vals_pool + vals_off[c] + n_int[c];
+      const int64_t *locs = loc_pool + loc_off[c];
+      const int64_t m = n_bnd[c], ic = loc_icnt[c];
+      for (int64_t j = 0; j < ic; ++j) vals_pool[pi++] = src[locs[j]];
+      for (int64_t j = ic; j < m; ++j) vals_pool[pb++] = src[locs[j]];
+    }
+    n_int[i] = icnt_total;
+    n_bnd[i] = pb - vc - icnt_total;
+    vc = pb;
+  }
+  // root loc: identity over its bnd (nesteddissection.jl:31-32)
+  const int64_t mr = n_bnd[root];
+  if (lc + mr > loc_cap) return -1;
+  loc_off[root] = lc;
+  loc_icnt[root] = mr;
+  for (int64_t j = 0; j < mr; ++j) loc_pool[lc + j] = j;
+  return 0;
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

@@ -164,9 +164,9 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     ni2 = np.zeros(B, dtype=np.int64)
     nb1 = np.zeros(B, dtype=np.int64)
     nb2 = np.zeros(B, dtype=np.int64)
-    int_ids = np.full((B, h1 + h2), N, dtype=np.int64)
-    bnd_ids = np.full((B, q1 + q2), N, dtype=np.int64)
-    smap = np.full((B, np_pad), q1 + q2, dtype=np.int64)
+    int_ids = np.full((B, h1 + h2), N, dtype=np.int32)
+    bnd_ids = np.full((B, q1 + q2), N, dtype=np.int32)
+    smap = np.full((B, np_pad), q1 + q2, dtype=np.int32)
     shapes = cross_block_shapes(child_cplans)
     from hsolve.native import BlockGatherBuilder
 
@@ -196,7 +196,11 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
                 builders[name].add(rows, cols, b * r_ * c_, stride=w)
 
         # parent-S HSS pad coord -> child-aligned boundary position
-        perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
+        if loc.pool is not None:
+            o = loc.off[node]
+            perm_s = loc.pool[o: o + int(loc.n_int[node] + loc.n_bnd[node])]
+        else:
+            perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
         pos = np.where(perm_s < kb1, perm_s, q1 + perm_s - kb1)
         k1, k2 = int(n1[b]), int(n2[b])
         smap[b, :k1] = pos[:k1]
@@ -241,7 +245,8 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
 
 def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
                         m_pad, is_leaf_batch, compress, cplan, n1, n2, levels,
-                        s_batch, s_row, batches, opts, N, bidx) -> None:
+                        s_batch, s_row, batches, opts, N, bidx,
+                        pools=None) -> None:
     """Plan one regular (dense or compressed-with-dense-children) batch: front COO
     gathers, extend-add maps, id/perm fills.  Appends the BatchPlan to ``batches``
     and records the nodes' Schur locations in ``s_batch``/``s_row``."""
@@ -250,10 +255,12 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         d = np.arange(ni_pad)
         for bb in range(B0, B):
             ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
-    sperm = np.tile(np.arange(nb_pad, dtype=np.int64), (B, 1)) if nb_pad else \
-        np.zeros((B, 0), dtype=np.int64)
-    int_ids = np.full((B, ni_pad), N, dtype=np.int64)
-    bnd_ids = np.full((B, nb_pad), N, dtype=np.int64)
+    # device index arrays are built int32 from the start (TPU-native index width;
+    # halves the fill traffic of these [B, m_pad]-class buffers)
+    sperm = np.tile(np.arange(nb_pad, dtype=np.int32), (B, 1)) if nb_pad else \
+        np.zeros((B, 0), dtype=np.int32)
+    int_ids = np.full((B, ni_pad), N, dtype=np.int32)
+    bnd_ids = np.full((B, nb_pad), N, dtype=np.int32)
 
     if not is_leaf_batch:
         ni1 = loc.n_int[tree.left[nodes]]
@@ -266,8 +273,8 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         sr_pad = max(_round_up(int(sr.max()), opts.pad), 1)
         # inverse extend-add maps: front position -> child-S index (or -1), so
         # the device assembly is a gather, not an XLA scatter
-        map_l = np.full((B, m_pad), -1, dtype=np.int64)
-        map_r = np.full((B, m_pad), -1, dtype=np.int64)
+        map_l = np.full((B, m_pad), -1, dtype=np.int32)
+        map_r = np.full((B, m_pad), -1, dtype=np.int32)
     else:
         sl_pad = sr_pad = 0
         map_l = map_r = None
@@ -276,22 +283,31 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     groups_r: Dict[int, List[Tuple[int, int]]] = {}
     from hsolve.native import run_coo_pooled
 
-    # one shared index pool per batch ([ints_0, bnds_0, ints_1, bnds_1, ...]);
-    # block specs are segments of it, assembled with vectorized numpy - the
-    # per-node small-array accumulation dominated symbolic time at scale
     B0n = len(nodes)
-    pool = np.concatenate(
-        [x for n in nodes for x in (tree.int_idx[n], tree.bnd_idx[n])]
-        or [np.zeros(0, dtype=np.int64)])
-    seg_lens = np.empty(2 * B0n, dtype=np.int64)
-    seg_lens[0::2] = ni[:B0n]
-    seg_lens[1::2] = nb[:B0n]
-    seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
-    o_int = seg_off[0::2]                       # [B0] pool offset of ints
-    o_bnd = seg_off[1::2]                       # [B0] pool offset of bnds
-    base = np.arange(B0n, dtype=np.int64) * (m_pad * m_pad)
     niB = ni[:B0n]
     nbB = nb[:B0n]
+    if pools is not None:
+        # pooled symfact layout: every node's [int; bnd] is contiguous in the
+        # shared pool, so block specs are (offset, length) pairs - no per-batch
+        # index concatenation at all
+        pool, pool32, vals_off, locpool32, loc_off, node_nnz = pools
+        o_int = vals_off[nodes]
+        o_bnd = o_int + niB
+        bound = int(node_nnz[nodes].sum())
+    else:
+        # fallback: one shared index pool per batch
+        # ([ints_0, bnds_0, ints_1, bnds_1, ...]) assembled with vectorized numpy
+        pool = np.concatenate(
+            [x for n in nodes for x in (tree.int_idx[n], tree.bnd_idx[n])]
+            or [np.zeros(0, dtype=np.int64)])
+        seg_lens = np.empty(2 * B0n, dtype=np.int64)
+        seg_lens[0::2] = niB
+        seg_lens[1::2] = nbB
+        seg_off = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+        o_int = seg_off[0::2]                   # [B0] pool offset of ints
+        o_bnd = seg_off[1::2]                   # [B0] pool offset of bnds
+        bound = None
+    base = np.arange(B0n, dtype=np.int64) * (m_pad * m_pad)
 
     def _specs_from(parts):
         # parts: list of (rs, rl, cs, cl, r0, c0) per block type, each [B0]
@@ -326,7 +342,8 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
             so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
         seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
         front_pos, front_vals = run_front_gather(
-            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad, copy=False)
+            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad, copy=False,
+            bound=bound)
     else:
         if is_leaf_batch:
             z = np.zeros(B0n, dtype=np.int64)
@@ -359,39 +376,56 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     # vectorized per-batch fills (host symbolic time is part of the north-star
     # setup metric; per-node python loops dominated it at scale)
     cols_i = np.arange(ni_pad, dtype=np.int64)
-    poolx = np.concatenate([pool, [N]])
-    gi = np.minimum(o_int[:, None] + cols_i[None, :], len(pool))
+    if pools is not None:
+        poolx = pool32
+        plim = len(poolx) - 1
+    else:
+        poolx = np.empty(len(pool) + 1, dtype=np.int32)
+        poolx[:-1] = pool
+        poolx[-1] = N
+        plim = len(pool)
+    gi = np.minimum(o_int[:, None] + cols_i[None, :], plim)
     int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
     if nb_pad:
         cols_b = np.arange(nb_pad, dtype=np.int64)
-        gb = np.minimum(o_bnd[:, None] + cols_b[None, :], len(pool))
+        gb = np.minimum(o_bnd[:, None] + cols_b[None, :], plim)
         bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
         # sperm rows are [int_loc; bnd_loc] per node
-        lpool = np.concatenate(
-            [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
-            or [np.zeros(0, dtype=np.int64)])
         l1 = loc.n_int[nodes]
         l2 = loc.n_bnd[nodes]
-        lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
-        lpx = np.concatenate([lpool, [0]])
-        gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
+        if pools is not None:
+            lpx = locpool32
+            lo = loc_off[nodes]
+            llim = len(lpx) - 1
+        else:
+            lpool = np.concatenate(
+                [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
+                or [np.zeros(0, dtype=np.int64)])
+            lo = np.concatenate([[0], np.cumsum(l1 + l2)])[:-1]
+            lpx = np.empty(len(lpool) + 1, dtype=np.int32)
+            lpx[:-1] = lpool
+            lpx[-1] = 0
+            llim = len(lpool)
+        gs = np.minimum(lo[:, None] + cols_b[None, :], llim)
         sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
                                sperm[:B0n])
 
     if not is_leaf_batch:
         # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
         # placements are two contiguous runs per child)
-        cols_m = np.arange(m_pad, dtype=np.int64)[None, :]
-        in_i1 = cols_m < ni1[:, None]
-        in_i2 = (cols_m >= ni1[:, None]) & (cols_m < (ni1 + ni2)[:, None])
-        in_b1 = (cols_m >= ni_pad) & (cols_m < (ni_pad + nb1)[:, None])
-        in_b2 = ((cols_m >= (ni_pad + nb1)[:, None])
-                 & (cols_m < (ni_pad + nb1 + nb2)[:, None]))
+        cols_m = np.arange(m_pad, dtype=np.int32)[None, :]
+        ni1c = ni1.astype(np.int32)[:, None]
+        ni2c = ni2.astype(np.int32)[:, None]
+        nb1c = nb1.astype(np.int32)[:, None]
+        nb2c = nb2.astype(np.int32)[:, None]
+        in_i1 = cols_m < ni1c
+        in_i2 = (cols_m >= ni1c) & (cols_m < ni1c + ni2c)
+        in_b1 = (cols_m >= ni_pad) & (cols_m < ni_pad + nb1c)
+        in_b2 = (cols_m >= ni_pad + nb1c) & (cols_m < ni_pad + nb1c + nb2c)
         map_l[:B0n] = np.where(in_i1, cols_m,
-                               np.where(in_b1, ni1[:, None] + cols_m - ni_pad, -1))
-        map_r[:B0n] = np.where(in_i2, cols_m - ni1[:, None],
-                               np.where(in_b2, ni2[:, None] + cols_m
-                                        - ni_pad - nb1[:, None], -1))
+                               np.where(in_b1, ni1c + cols_m - ni_pad, -1))
+        map_r[:B0n] = np.where(in_i2, cols_m - ni1c,
+                               np.where(in_b2, ni2c + cols_m - ni_pad - nb1c, -1))
         for kids, gd in ((tree.left[nodes], groups_l),
                          (tree.right[nodes], groups_r)):
             for sb in np.unique(s_batch[kids]):
@@ -479,8 +513,26 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     nn = tree.nnodes
     # per-node sizes as flat arrays: the schedule below indexes them wholesale
     # (repeated per-node len() calls dominated host planning at large N)
-    ni_all = np.fromiter((len(tree.int_idx[i]) for i in range(nn)), np.int64, nn)
-    nb_all = np.fromiter((len(tree.bnd_idx[i]) for i in range(nn)), np.int64, nn)
+    pool_all = getattr(tree, "_pool", None)
+    if pool_all is not None and loc.pool is not None:
+        # pooled symfact output: sizes are free, and the batch builders index the
+        # shared pools directly instead of concatenating ~2n per-node arrays
+        ni_all = tree._pool_ni
+        nb_all = tree._pool_nb
+        counts = gather.indptr[1:] - gather.indptr[:-1] if gather.ok else \
+            np.diff(A_perm.indptr).astype(np.int64)
+        cs = np.zeros(len(pool_all) + 1, dtype=np.int64)
+        np.cumsum(counts[pool_all], out=cs[1:])
+        vend = tree._pool_off + ni_all + nb_all
+        node_nnz = cs[vend] - cs[tree._pool_off]   # nnz of each node's front rows
+        pools = (pool_all, pool_all.astype(np.int32), tree._pool_off,
+                 loc.pool.astype(np.int32), loc.off, node_nnz)
+    else:
+        ni_all = np.fromiter((len(tree.int_idx[i]) for i in range(nn)), np.int64,
+                             nn)
+        nb_all = np.fromiter((len(tree.bnd_idx[i]) for i in range(nn)), np.int64,
+                             nn)
+        pools = None
 
     # --- schedule: group nodes by height, split by compression flag ---
     order = tree.topo_order()
@@ -586,7 +638,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             _plan_regular_batch(
                 gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad, m_pad,
                 is_leaf_batch, compress, cplan, n1, n2, levels, s_batch, s_row,
-                batches, opts, N, bidx)
+                batches, opts, N, bidx, pools)
 
     # consumption post-pass: keep HSS emission only where a structured batch (or the
     # HSS root solve) actually consumes it

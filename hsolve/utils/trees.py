@@ -57,9 +57,10 @@ class NDTree:
         out = NDTree(left=self.left.copy(), right=self.right.copy(),
                      int_idx=list(self.int_idx), bnd_idx=list(self.bnd_idx),
                      root=self.root)
-        cached = getattr(self, "_topo_cache", None)
-        if cached is not None:  # topology is shared and immutable
-            object.__setattr__(out, "_topo_cache", cached)
+        for name in ("_topo_cache", "_heights_cache", "_layers_cache"):
+            cached = getattr(self, name, None)
+            if cached is not None:  # topology is shared and immutable
+                object.__setattr__(out, name, cached)
         return out
 
     def is_leaf(self, i: int) -> bool:
@@ -85,7 +86,11 @@ class NDTree:
         return len(self.layers())
 
     def heights(self) -> np.ndarray:
-        """Per-node height (leaves 0), by per-layer vectorized bottom-up passes."""
+        """Per-node height (leaves 0), by per-layer vectorized bottom-up passes.
+        Memoized (topology is immutable in practice, like :meth:`topo_order`)."""
+        cached = getattr(self, "_heights_cache", None)
+        if cached is not None and len(cached) == self.nnodes:
+            return cached
         h = np.zeros(self.nnodes, dtype=np.int64)
         for layer in reversed(self.layers()):
             l, r = self.left[layer], self.right[layer]
@@ -94,6 +99,7 @@ class NDTree:
                 lm = np.where(m, l, 0)
                 rm = np.where(m, r, 0)
                 h[layer] = np.where(m, 1 + np.maximum(h[lm], h[rm]), h[layer])
+        object.__setattr__(self, "_heights_cache", h)
         return h
 
     def topo_order(self) -> np.ndarray:
@@ -175,6 +181,32 @@ class LocTree:
     bnd_loc: List[np.ndarray]
     n_int: Optional[np.ndarray] = None   # [nnodes]
     n_bnd: Optional[np.ndarray] = None   # [nnodes]
+    # pooled layout (native symfact): node i's [int_loc; bnd_loc] is the contiguous
+    # segment pool[off[i] : off[i] + n_int[i] + n_bnd[i]]; None on the numpy path
+    pool: Optional[np.ndarray] = None
+    off: Optional[np.ndarray] = None
+
+
+def _symfact_native(tree: NDTree, order: np.ndarray):
+    """Call the pooled C++ symfact (gather.cpp symfact_pooled); None when the
+    native library is unavailable."""
+    try:
+        from hsolve.native import symfact_pooled_native
+    except Exception:
+        return None
+    n = tree.nnodes
+    ilens = np.fromiter((len(tree.int_idx[i]) for i in range(n)), np.int64, n)
+    blens = np.fromiter((len(tree.bnd_idx[i]) for i in range(n)), np.int64, n)
+    iptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ilens, out=iptr[1:])
+    bptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(blens, out=bptr[1:])
+    ipool = np.concatenate(tree.int_idx) if iptr[-1] else np.empty(0, np.int64)
+    bpool = np.concatenate(tree.bnd_idx) if bptr[-1] else np.empty(0, np.int64)
+    ndofs = int(max(ipool.max() if len(ipool) else -1,
+                    bpool.max() if len(bpool) else -1)) + 1
+    return symfact_pooled_native(tree.left, tree.right, tree.root, order,
+                                 iptr, ipool, bptr, bpool, ndofs)
 
 
 def symfact(tree: NDTree) -> LocTree:
@@ -197,10 +229,37 @@ def symfact(tree: NDTree) -> LocTree:
     """
     n = tree.nnodes
     _E = np.empty(0, np.int64)  # shared placeholder; entries are reassigned below
+    order = tree.topo_order()
+
+    # native pooled path: one C++ pass emits every node's final [int; bnd] and
+    # [int_loc; bnd_loc] contiguously into shared pools; the per-node lists become
+    # zero-copy views so the existing API (and in-place pool relabeling, see
+    # permuted) keeps working
+    native = _symfact_native(tree, order)
+    if native is not None:
+        vals_pool, vals_off, ni, nb, loc_pool, loc_off, loc_icnt = native
+        iview = [vals_pool[vals_off[i]: vals_off[i] + ni[i]] for i in range(n)]
+        bview = [vals_pool[vals_off[i] + ni[i]: vals_off[i] + ni[i] + nb[i]]
+                 for i in range(n)]
+        tree.int_idx = iview
+        tree.bnd_idx = bview
+        object.__setattr__(tree, "_pool", vals_pool)
+        object.__setattr__(tree, "_pool_off", vals_off)
+        object.__setattr__(tree, "_pool_ni", ni)
+        object.__setattr__(tree, "_pool_nb", nb)
+        # every node's loc segment length is its final bnd length (the root's
+        # identity segment too: loc_icnt[root] == nb[root])
+        mseg = nb
+        loc = LocTree(
+            [loc_pool[loc_off[i]: loc_off[i] + loc_icnt[i]] for i in range(n)],
+            [loc_pool[loc_off[i] + loc_icnt[i]: loc_off[i] + mseg[i]]
+             for i in range(n)],
+            n_int=loc_icnt, n_bnd=mseg - loc_icnt, pool=loc_pool, off=loc_off)
+        return loc
+
     loc = LocTree([_E] * n, [_E] * n,
                   n_int=np.zeros(n, dtype=np.int64),
                   n_bnd=np.zeros(n, dtype=np.int64))
-    order = tree.topo_order()
     # eliminating node of every DOF (from the input int sets, which partition the
     # eliminated DOFs); root-bnd DOFs keep sentinel -1 (eliminated at "the root solve")
     ipool = np.concatenate([tree.int_idx[i] for i in range(n)] or
@@ -272,6 +331,12 @@ def postorder(tree: NDTree) -> np.ndarray:
 def permuted(tree: NDTree, relabel: np.ndarray) -> NDTree:
     """Remap every index set through ``relabel`` (new_id = relabel[old_id]); parity with
     ``permuted!`` (nesteddissection.jl:82-88), applied in place and returned."""
+    pool = getattr(tree, "_pool", None)
+    if pool is not None:
+        # pooled tree (native symfact): one vectorized relabel of the shared pool;
+        # the per-node int_idx/bnd_idx views see the update in place
+        pool[:] = relabel[pool]
+        return tree
     for i in range(tree.nnodes):
         tree.int_idx[i] = relabel[tree.int_idx[i]]
         tree.bnd_idx[i] = relabel[tree.bnd_idx[i]]

@@ -15,6 +15,7 @@ Usage: python bench.py [--n 128] [--k 40] [--leafmax 100] [--reps 3] [--swlevel 
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -232,7 +233,8 @@ def main():
         import os as _os
         _os._exit(3)
 
-    wd = threading.Timer(300.0, _fetch_watchdog)
+    wd = threading.Timer(float(os.environ.get("HSOLVE_FETCH_TIMEOUT", "150")),
+                         _fetch_watchdog)
     wd.daemon = True
     wd.start()
 

@@ -95,6 +95,10 @@ def _load():
     lib.csr_gather_front_f64.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p,
                                          i64p, i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, i64p, i64p, i64p, f64o]
+    lib.fill_batch_maps.argtypes = [i64p] * 12 + [ctypes.c_int64] * 4 + [i64p] * 5
+    lib.fill_ident_pos.restype = ctypes.c_int64
+    lib.fill_ident_pos.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64, i64p]
     lib.symfact_pooled.restype = ctypes.c_int64
     lib.symfact_pooled.argtypes = [i64p, i64p, ctypes.c_int64, ctypes.c_int64,
                                    i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
@@ -397,6 +401,38 @@ def symfact_pooled_native(left: np.ndarray, right: np.ndarray, root: int,
             "symfact: tree index sets inconsistent (a branch's int+bnd does not "
             "match the union of its children's boundaries); run NDTree.validate()")
     return vals_pool, vals_off, n_int, n_bnd, loc_pool, loc_off, loc_icnt
+
+
+def fill_batch_maps_native(pool, o_int, o_bnd, ni, nb, locpool, lo, lsum,
+                           branch, ni_pad, nb_pad, N, int_ids, bnd_ids, sperm,
+                           map_l, map_r) -> None:
+    """One C++ sweep filling rows [0, B0) of a batch's int32 device maps (see
+    gather.cpp fill_batch_maps).  ``branch``: (ni1, ni2, nb1, nb2) or None for
+    leaf batches (map_l/map_r are then ignored)."""
+    B0 = len(o_int)
+    a = [np.ascontiguousarray(x, dtype=np.int64)
+         for x in (o_int, o_bnd, ni, nb, lo, lsum)]
+    if branch is not None:
+        br = [np.ascontiguousarray(x, dtype=np.int64) for x in branch]
+        bp = [_pt(x) for x in br]
+        mlp, mrp = _pt(map_l), _pt(map_r)
+    else:
+        bp = [0, 0, 0, 0]
+        mlp = mrp = 0
+    _lib.fill_batch_maps(_pt(pool), _pt(a[0]), _pt(a[1]), _pt(a[2]), _pt(a[3]),
+                         _pt(locpool), _pt(a[4]), _pt(a[5]), *bp, B0, ni_pad,
+                         nb_pad, N, _pt(int_ids), _pt(bnd_ids), _pt(sperm),
+                         mlp, mrp)
+
+
+def fill_ident_pos_native(ni: np.ndarray, B0: int, B: int, ni_pad: int,
+                          m_pad: int) -> np.ndarray:
+    """Identity-diagonal COO positions for padded pivot rows (int64)."""
+    ni = np.ascontiguousarray(ni, dtype=np.int64)
+    cap = int(np.sum(ni_pad - ni[:B0])) + (B - B0) * ni_pad
+    out = np.empty(max(cap, 1), dtype=np.int64)
+    c = _lib.fill_ident_pos(_pt(ni), B0, B, ni_pad, m_pad, _pt(out))
+    return out[:c]
 
 
 def available() -> bool:

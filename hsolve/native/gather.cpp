@@ -467,6 +467,68 @@ int64_t symfact_pooled(const int64_t *left, const int64_t *right, int64_t root,
   return 0;
 }
 
+// Batched schedule-map fills for one planner batch (rows [0, B0) of the int32
+// device maps; the caller handles sharding-padding dummy rows, which are rare).
+// Replaces ~20 [B, m_pad]-class numpy broadcast/where passes per batch with one
+// cache-friendly sweep.  pool/locpool are the pooled symfact outputs; per node b:
+//   int_ids[b]  = [pool[o_int[b] : +ni[b]]; N-pad]
+//   bnd_ids[b]  = [pool[o_bnd[b] : +nb[b]]; N-pad]
+//   sperm[b]    = [locpool[lo[b] : +lsum[b]]; identity-pad]
+//   map_l/map_r = inverse extend-add maps (front position -> child-S index, -1
+//                 outside; children are the two contiguous [int; bnd] runs)
+// map_l/map_r/ni1..nb2 may be null (leaf batches).
+void fill_batch_maps(const int64_t *pool, const int64_t *o_int,
+                     const int64_t *o_bnd, const int64_t *ni, const int64_t *nb,
+                     const int64_t *locpool, const int64_t *lo,
+                     const int64_t *lsum, const int64_t *ni1, const int64_t *ni2,
+                     const int64_t *nb1, const int64_t *nb2, int64_t B0,
+                     int64_t ni_pad, int64_t nb_pad, int64_t N,
+                     int32_t *int_ids, int32_t *bnd_ids, int32_t *sperm,
+                     int32_t *map_l, int32_t *map_r) {
+  const int64_t m_pad = ni_pad + nb_pad;
+  for (int64_t b = 0; b < B0; ++b) {
+    int32_t *ir = int_ids + b * ni_pad;
+    const int64_t *ip = pool + o_int[b];
+    for (int64_t j = 0; j < ni[b]; ++j) ir[j] = (int32_t)ip[j];
+    for (int64_t j = ni[b]; j < ni_pad; ++j) ir[j] = (int32_t)N;
+    if (nb_pad) {
+      int32_t *br = bnd_ids + b * nb_pad;
+      const int64_t *bp = pool + o_bnd[b];
+      for (int64_t j = 0; j < nb[b]; ++j) br[j] = (int32_t)bp[j];
+      for (int64_t j = nb[b]; j < nb_pad; ++j) br[j] = (int32_t)N;
+      int32_t *sr = sperm + b * nb_pad;
+      const int64_t *lp = locpool + lo[b];
+      for (int64_t j = 0; j < lsum[b]; ++j) sr[j] = (int32_t)lp[j];
+      for (int64_t j = lsum[b]; j < nb_pad; ++j) sr[j] = (int32_t)j;
+    }
+    if (map_l) {
+      int32_t *ml = map_l + b * m_pad;
+      int32_t *mr = map_r + b * m_pad;
+      const int64_t a1 = ni1[b], a2 = ni2[b], b1 = nb1[b], b2 = nb2[b];
+      for (int64_t j = 0; j < m_pad; ++j) ml[j] = -1;
+      for (int64_t j = 0; j < m_pad; ++j) mr[j] = -1;
+      for (int64_t j = 0; j < a1; ++j) ml[j] = (int32_t)j;
+      for (int64_t j = 0; j < a2; ++j) mr[a1 + j] = (int32_t)j;
+      for (int64_t j = 0; j < b1; ++j) ml[ni_pad + j] = (int32_t)(a1 + j);
+      for (int64_t j = 0; j < b2; ++j) mr[ni_pad + b1 + j] = (int32_t)(a2 + j);
+    }
+  }
+}
+
+// Identity-diagonal positions for the padded pivot rows ([ni[b], ni_pad) of every
+// real front, all of [0, ni_pad) for dummy fronts) - appended to the front COO so
+// the batched LU stays well-defined on padding.  Returns the count written.
+int64_t fill_ident_pos(const int64_t *ni, int64_t B0, int64_t B, int64_t ni_pad,
+                       int64_t m_pad, int64_t *out) {
+  int64_t c = 0;
+  const int64_t mm = m_pad * m_pad;
+  for (int64_t b = 0; b < B0; ++b)
+    for (int64_t j = ni[b]; j < ni_pad; ++j) out[c++] = b * mm + j * (m_pad + 1);
+  for (int64_t b = B0; b < B; ++b)
+    for (int64_t j = 0; j < ni_pad; ++j) out[c++] = b * mm + j * (m_pad + 1);
+  return c;
+}
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

@@ -250,17 +250,22 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     """Plan one regular (dense or compressed-with-dense-children) batch: front COO
     gathers, extend-add maps, id/perm fills.  Appends the BatchPlan to ``batches``
     and records the nodes' Schur locations in ``s_batch``/``s_row``."""
-    ident_pos = []
-    if B > B0:  # dummy fronts: identity pivot block
-        d = np.arange(ni_pad)
-        for bb in range(B0, B):
-            ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
     # device index arrays are built int32 from the start (TPU-native index width;
-    # halves the fill traffic of these [B, m_pad]-class buffers)
-    sperm = np.tile(np.arange(nb_pad, dtype=np.int32), (B, 1)) if nb_pad else \
-        np.zeros((B, 0), dtype=np.int32)
-    int_ids = np.full((B, ni_pad), N, dtype=np.int32)
-    bnd_ids = np.full((B, nb_pad), N, dtype=np.int32)
+    # halves the fill traffic of these [B, m_pad]-class buffers); in pooled mode
+    # the C++ fill below writes rows [0, B0) so only dummy rows need prefilling
+    alloc = np.empty if pools is not None else \
+        (lambda shape, dtype: np.full(shape, N, dtype=dtype))
+    int_ids = alloc((B, ni_pad), dtype=np.int32)
+    bnd_ids = alloc((B, nb_pad), dtype=np.int32)
+    if nb_pad:
+        sperm = np.empty((B, nb_pad), dtype=np.int32)
+        # identity default (pooled mode: only the dummy rows need it)
+        sperm[B0 if pools is not None else 0:] = np.arange(nb_pad, dtype=np.int32)
+    else:
+        sperm = np.zeros((B, 0), dtype=np.int32)
+    if pools is not None and B > B0:
+        int_ids[B0:] = N
+        bnd_ids[B0:] = N
 
     if not is_leaf_batch:
         ni1 = loc.n_int[tree.left[nodes]]
@@ -273,8 +278,13 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         sr_pad = max(_round_up(int(sr.max()), opts.pad), 1)
         # inverse extend-add maps: front position -> child-S index (or -1), so
         # the device assembly is a gather, not an XLA scatter
-        map_l = np.full((B, m_pad), -1, dtype=np.int32)
-        map_r = np.full((B, m_pad), -1, dtype=np.int32)
+        map_alloc = np.empty if pools is not None else \
+            (lambda shape, dtype: np.full(shape, -1, dtype=dtype))
+        map_l = map_alloc((B, m_pad), dtype=np.int32)
+        map_r = map_alloc((B, m_pad), dtype=np.int32)
+        if pools is not None and B > B0:
+            map_l[B0:] = -1
+            map_r[B0:] = -1
     else:
         sl_pad = sr_pad = 0
         map_l = map_r = None
@@ -290,7 +300,7 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         # pooled symfact layout: every node's [int; bnd] is contiguous in the
         # shared pool, so block specs are (offset, length) pairs - no per-batch
         # index concatenation at all
-        pool, pool32, vals_off, locpool32, loc_off, node_nnz = pools
+        pool, vals_off, locpool, loc_off, node_nnz = pools
         o_int = vals_off[nodes]
         o_bnd = o_int + niB
         bound = int(node_nnz[nodes].sum())
@@ -373,31 +383,31 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         front_pos, front_vals = run_coo_pooled(gather, pool,
                                                *_specs_from(parts))
 
-    # vectorized per-batch fills (host symbolic time is part of the north-star
-    # setup metric; per-node python loops dominated it at scale)
-    cols_i = np.arange(ni_pad, dtype=np.int64)
+    # per-batch map fills (host symbolic time is part of the north-star setup
+    # metric): one C++ sweep in pooled mode, vectorized numpy otherwise
     if pools is not None:
-        poolx = pool32
-        plim = len(poolx) - 1
+        from hsolve.native import fill_batch_maps_native
+
+        lsum = loc.n_int[nodes] + loc.n_bnd[nodes]
+        fill_batch_maps_native(
+            pool, o_int, o_bnd, niB, nbB, locpool, loc_off[nodes], lsum,
+            None if is_leaf_batch else (ni1, ni2, nb1, nb2),
+            ni_pad, nb_pad, N, int_ids, bnd_ids, sperm, map_l, map_r)
     else:
+        cols_i = np.arange(ni_pad, dtype=np.int64)
         poolx = np.empty(len(pool) + 1, dtype=np.int32)
         poolx[:-1] = pool
         poolx[-1] = N
         plim = len(pool)
-    gi = np.minimum(o_int[:, None] + cols_i[None, :], plim)
-    int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
-    if nb_pad:
-        cols_b = np.arange(nb_pad, dtype=np.int64)
-        gb = np.minimum(o_bnd[:, None] + cols_b[None, :], plim)
-        bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
-        # sperm rows are [int_loc; bnd_loc] per node
-        l1 = loc.n_int[nodes]
-        l2 = loc.n_bnd[nodes]
-        if pools is not None:
-            lpx = locpool32
-            lo = loc_off[nodes]
-            llim = len(lpx) - 1
-        else:
+        gi = np.minimum(o_int[:, None] + cols_i[None, :], plim)
+        int_ids[:B0n] = np.where(cols_i[None, :] < niB[:, None], poolx[gi], N)
+        if nb_pad:
+            cols_b = np.arange(nb_pad, dtype=np.int64)
+            gb = np.minimum(o_bnd[:, None] + cols_b[None, :], plim)
+            bnd_ids[:B0n] = np.where(cols_b[None, :] < nbB[:, None], poolx[gb], N)
+            # sperm rows are [int_loc; bnd_loc] per node
+            l1 = loc.n_int[nodes]
+            l2 = loc.n_bnd[nodes]
             lpool = np.concatenate(
                 [x for nd in nodes for x in (loc.int_loc[nd], loc.bnd_loc[nd])]
                 or [np.zeros(0, dtype=np.int64)])
@@ -405,45 +415,64 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
             lpx = np.empty(len(lpool) + 1, dtype=np.int32)
             lpx[:-1] = lpool
             lpx[-1] = 0
-            llim = len(lpool)
-        gs = np.minimum(lo[:, None] + cols_b[None, :], llim)
-        sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
-                               sperm[:B0n])
+            gs = np.minimum(lo[:, None] + cols_b[None, :], len(lpool))
+            sperm[:B0n] = np.where(cols_b[None, :] < (l1 + l2)[:, None], lpx[gs],
+                                   sperm[:B0n])
+        if not is_leaf_batch:
+            # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
+            # placements are two contiguous runs per child)
+            cols_m = np.arange(m_pad, dtype=np.int32)[None, :]
+            ni1c = ni1.astype(np.int32)[:, None]
+            ni2c = ni2.astype(np.int32)[:, None]
+            nb1c = nb1.astype(np.int32)[:, None]
+            nb2c = nb2.astype(np.int32)[:, None]
+            in_i1 = cols_m < ni1c
+            in_i2 = (cols_m >= ni1c) & (cols_m < ni1c + ni2c)
+            in_b1 = (cols_m >= ni_pad) & (cols_m < ni_pad + nb1c)
+            in_b2 = (cols_m >= ni_pad + nb1c) & (cols_m < ni_pad + nb1c + nb2c)
+            map_l[:B0n] = np.where(in_i1, cols_m,
+                                   np.where(in_b1, ni1c + cols_m - ni_pad, -1))
+            map_r[:B0n] = np.where(in_i2, cols_m - ni1c,
+                                   np.where(in_b2, ni2c + cols_m - ni_pad - nb1c,
+                                            -1))
 
     if not is_leaf_batch:
-        # inverse extend-add maps (child S is [int_loc; bnd_loc]-permuted, so
-        # placements are two contiguous runs per child)
-        cols_m = np.arange(m_pad, dtype=np.int32)[None, :]
-        ni1c = ni1.astype(np.int32)[:, None]
-        ni2c = ni2.astype(np.int32)[:, None]
-        nb1c = nb1.astype(np.int32)[:, None]
-        nb2c = nb2.astype(np.int32)[:, None]
-        in_i1 = cols_m < ni1c
-        in_i2 = (cols_m >= ni1c) & (cols_m < ni1c + ni2c)
-        in_b1 = (cols_m >= ni_pad) & (cols_m < ni_pad + nb1c)
-        in_b2 = (cols_m >= ni_pad + nb1c) & (cols_m < ni_pad + nb1c + nb2c)
-        map_l[:B0n] = np.where(in_i1, cols_m,
-                               np.where(in_b1, ni1c + cols_m - ni_pad, -1))
-        map_r[:B0n] = np.where(in_i2, cols_m - ni1c,
-                               np.where(in_b2, ni2c + cols_m - ni_pad - nb1c, -1))
         for kids, gd in ((tree.left[nodes], groups_l),
                          (tree.right[nodes], groups_r)):
-            for sb in np.unique(s_batch[kids]):
-                m = np.flatnonzero(s_batch[kids] == sb)
-                gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
+            sb_kids = s_batch[kids]
+            if len(sb_kids) and np.all(sb_kids == sb_kids[0]):
+                # common case: every child's Schur lives in one source batch
+                gd[int(sb_kids[0])] = (s_row[kids],
+                                       np.arange(len(kids), dtype=np.int64))
+            else:
+                for sb in np.unique(sb_kids):
+                    m = np.flatnonzero(sb_kids == sb)
+                    gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
 
     # identity on the padded part of the pivot block keeps the batched LU
-    # well-defined (the padded rows/cols stay decoupled)
-    pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
-        + cols_i[None, :] * (m_pad + 1)
-    ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
+    # well-defined (the padded rows/cols stay decoupled); dummy (sharding-padding)
+    # fronts get a full identity pivot
     s_batch[nodes] = bidx
     s_row[nodes] = np.arange(B0n, dtype=np.int64)
+    if pools is not None:
+        from hsolve.native import fill_ident_pos_native
+
+        ip = fill_ident_pos_native(ni, B0n, B, ni_pad, m_pad)
+    else:
+        ident_pos = []
+        if B > B0:
+            d = np.arange(ni_pad)
+            for bb in range(B0, B):
+                ident_pos.append(bb * m_pad * m_pad + d * (m_pad + 1))
+        cols_i = np.arange(ni_pad, dtype=np.int64)
+        pr = np.arange(B0n, dtype=np.int64)[:, None] * (m_pad * m_pad) \
+            + cols_i[None, :] * (m_pad + 1)
+        ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
+        ip = np.concatenate([a.ravel() for a in ident_pos]) if ident_pos else \
+            np.zeros(0, dtype=np.int64)
     # one fused pass: gathered COO (a workspace view) + identity padding, written
     # straight into the final (int32 where possible) buffers - the previous
     # copy -> concatenate -> astype chain made three passes over multi-MB arrays
-    ip = np.concatenate([a.ravel() for a in ident_pos]) if ident_pos else \
-        np.zeros(0, dtype=np.int64)
     n0 = len(front_pos)
     ptype = np.int32 if B * m_pad * m_pad < 2 ** 31 else np.int64
     fp = np.empty(n0 + len(ip), dtype=ptype)
@@ -525,8 +554,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
         np.cumsum(counts[pool_all], out=cs[1:])
         vend = tree._pool_off + ni_all + nb_all
         node_nnz = cs[vend] - cs[tree._pool_off]   # nnz of each node's front rows
-        pools = (pool_all, pool_all.astype(np.int32), tree._pool_off,
-                 loc.pool.astype(np.int32), loc.off, node_nnz)
+        pools = (pool_all, tree._pool_off, loc.pool, loc.off, node_nnz)
     else:
         ni_all = np.fromiter((len(tree.int_idx[i]) for i in range(nn)), np.int64,
                              nn)

@@ -19,7 +19,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_grid(sizes, atol, outdir):
+    import time
+
     os.makedirs(outdir, exist_ok=True)
+    failed = []
     for n in sizes:
         for mode, extra in (("exact", []),
                             ("comp", ["--swlevel", "-2", "--atol", str(atol)])):
@@ -28,9 +31,23 @@ def run_grid(sizes, atol, outdir):
                 continue
             cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--n", str(n)] \
                 + extra
-            print("::", " ".join(cmd), flush=True)
-            with open(path, "w") as f:
-                subprocess.run(cmd, stdout=f, check=True, timeout=3600)
+            # the remote-TPU link sporadically drops mid-fetch (bench exits via
+            # its watchdog); retry with backoff instead of aborting the sweep
+            for attempt in range(3):
+                print("::", " ".join(cmd),
+                      f"(attempt {attempt + 1})", flush=True)
+                with open(path, "w") as f:
+                    r = subprocess.run(cmd, stdout=f, timeout=3600)
+                if r.returncode == 0 and os.path.getsize(path):
+                    break
+                time.sleep(90)
+            else:
+                print(f":: giving up on h{n}_{mode}", flush=True)
+                failed.append(f"h{n}_{mode}")
+                if os.path.exists(path):
+                    os.remove(path)
+    if failed:
+        print(":: failed configs:", ", ".join(failed), flush=True)
     return outdir
 
 

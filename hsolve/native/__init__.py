@@ -112,8 +112,19 @@ def _load():
     return _lib
 
 
+_DEBUG_PTRS = bool(os.environ.get("HSOLVE_DEBUG"))
+
+
 def _pt(a: np.ndarray) -> int:
-    """Raw data pointer of a (contiguous-enough) numpy array for the c_void_p ABI."""
+    """Raw data pointer of a (contiguous-enough) numpy array for the c_void_p ABI.
+
+    The c_void_p argtypes deliberately skip ndpointer's per-call dtype/contiguity
+    marshalling (~5us/arg, dominated small-batch planner calls); set HSOLVE_DEBUG=1
+    to re-enable a contiguity check here when developing new call sites."""
+    if _DEBUG_PTRS:
+        assert a.flags["C_CONTIGUOUS"], (
+            f"native kernel passed a non-contiguous array (shape={a.shape}, "
+            f"strides={a.strides}, dtype={a.dtype})")
     return a.ctypes.data
 
 

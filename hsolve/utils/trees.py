@@ -53,7 +53,11 @@ class NDTree:
     def shallow_copy(self) -> "NDTree":
         """New list containers sharing the per-node index arrays.  Sufficient for
         the planner: :func:`symfact` and :func:`permuted` only *reassign* list
-        entries (new arrays), never mutate the shared arrays in place."""
+        entries (new arrays) on un-pooled trees.  CAVEAT: on a tree that already
+        carries a symfact pool (``_pool`` set), :func:`permuted` relabels the shared
+        pool *in place*, so a shallow copy taken from an already-symfact'ed tree will
+        see its view arrays change; take a deep :meth:`copy` in that case.  The
+        planner is safe because its symfact always allocates a fresh pool first."""
         out = NDTree(left=self.left.copy(), right=self.right.copy(),
                      int_idx=list(self.int_idx), bnd_idx=list(self.bnd_idx),
                      root=self.root)
@@ -195,6 +199,11 @@ def _symfact_native(tree: NDTree, order: np.ndarray):
     except Exception:
         return None
     n = tree.nnodes
+    if len(order) != n:
+        # disconnected/malformed tree (parse_elimtree can produce one from external
+        # data): the C loop indexes order[0:n], so a short topo order would read past
+        # the array; fall back to the numpy symfact whose validate() diagnostics fire
+        return None
     ilens = np.fromiter((len(tree.int_idx[i]) for i in range(n)), np.int64, n)
     blens = np.fromiter((len(tree.bnd_idx[i]) for i in range(n)), np.int64, n)
     iptr = np.zeros(n + 1, dtype=np.int64)

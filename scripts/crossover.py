@@ -36,11 +36,18 @@ def run_grid(sizes, atol, outdir):
             for attempt in range(3):
                 print("::", " ".join(cmd),
                       f"(attempt {attempt + 1})", flush=True)
-                with open(path, "w") as f:
-                    r = subprocess.run(cmd, stdout=f, timeout=3600)
-                if r.returncode == 0 and os.path.getsize(path):
+                try:
+                    with open(path, "w") as f:
+                        r = subprocess.run(cmd, stdout=f, timeout=3600)
+                    ok = r.returncode == 0 and os.path.getsize(path)
+                except subprocess.TimeoutExpired:
+                    print(f":: h{n}_{mode} attempt {attempt + 1} timed out",
+                          flush=True)
+                    ok = False
+                if ok:
                     break
-                time.sleep(90)
+                if attempt < 2:
+                    time.sleep(90)
             else:
                 print(f":: giving up on h{n}_{mode}", flush=True)
                 failed.append(f"h{n}_{mode}")

@@ -301,7 +301,10 @@ def main():
     # watchdog: the deferred diagnostics fetch below is the one place a dropped
     # remote-TPU link blocks forever (observed in the wild); emit the host-measured
     # JSON line (diagnostics unavailable) and exit cleanly instead of losing the run
-    fetch_timeout = float(os.environ.get("HSOLVE_FETCH_TIMEOUT", "150"))
+    # the link degrades after multi-minute compiles: a single fetch can take
+    # minutes (observed >150s after a 235s compile); the JSON line is safe either
+    # way, so give the diagnostics fetch a generous budget
+    fetch_timeout = float(os.environ.get("HSOLVE_FETCH_TIMEOUT", "600"))
 
     def _fetch_watchdog():
         log(f"WARNING: device->host fetch did not complete within "

@@ -86,10 +86,19 @@ for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids"
 
 
 def _precision_ctx(opts: SolverOptions):
-    if opts.matmul_precision:
-        return jax.default_matmul_precision(opts.matmul_precision)
+    """Matmul-precision + verbose-logging scope for one driver call: with
+    ``opts.verbose`` the hsolve logger is lifted to INFO for the duration (the
+    reference's progress prints gate the same way, factorization.jl:17,22), so
+    per-batch schedule lines and HSS-densify fallbacks actually appear."""
     import contextlib
-    return contextlib.nullcontext()
+
+    from hsolve.utils.logging import verbose_level
+
+    stack = contextlib.ExitStack()
+    if opts.matmul_precision:
+        stack.enter_context(jax.default_matmul_precision(opts.matmul_precision))
+    stack.enter_context(verbose_level(opts.verbose))
+    return stack
 
 
 @dataclasses.dataclass
@@ -453,17 +462,16 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
     if fuse is None:
         fuse = True
     opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())
-    if opts.verbose:
-        from hsolve.utils.logging import logger
-
-        for i, bp in enumerate(plan.batches):
-            logger.info(
-                "batch %d: B=%d ni_pad=%d nb_pad=%d %s%s%snnz=%d", i, bp.B,
-                bp.ni_pad, bp.nb_pad, "leaf " if bp.is_leaf else "",
-                "compressed " if bp.compress else "",
-                "structured " if bp.structured else "", len(bp.front_pos))
-
     with _precision_ctx(opts):
+        if opts.verbose:
+            from hsolve.utils.logging import logger
+
+            for i, bp in enumerate(plan.batches):
+                logger.info(
+                    "batch %d: B=%d ni_pad=%d nb_pad=%d %s%s%snnz=%d", i, bp.B,
+                    bp.ni_pad, bp.nb_pad, "leaf " if bp.is_leaf else "",
+                    "compressed " if bp.compress else "",
+                    "structured " if bp.structured else "", len(bp.front_pos))
         if fuse:
             cache = getattr(plan, "_fused_cache", None)
             if cache is None:
@@ -596,18 +604,23 @@ def _run_structured(bp: BatchPlan, s_stacks, opts: SolverOptions, dtype, bidx: i
 
     sh1 = _gather_schur(bp.groups_l, s_stacks, bp.B)
     sh2 = _gather_schur(bp.groups_r, s_stacks, bp.B)
-    # materialize the dense cross-coupling buffers on device from the planner's COO
-    # (only junction nonzeros are stored; dense host buffers baked multi-MB
-    # constants into the fused program)
+    # materialize each cross coupling as its EXACT skinny factorization
+    # A_blk = U @ V^T: U is the one-hot selector of the nonzero rows, V^T the
+    # value strip scattered from the planner's COO.  Only the junction nonzeros
+    # (O(contact) per node) ever exist on device - no dense [B, r, c] buffer.
     cross = {}
-    for name, (r_, c_) in cross_block_shapes(bp.child_cplans).items():
-        pos, vals = bp.cross[name]
-        flat = jnp.zeros((bp.B * r_ * c_,), dtype=dtype)
-        if len(pos):
-            flat = flat.at[jnp.asarray(pos)].set(
-                jnp.asarray(np.asarray(vals, dtype=dtype)),
+    for name in cross_block_shapes(bp.child_cplans):
+        spec = bp.cross[name]
+        r_, c_, rcap = spec["r"], spec["c"], spec["rcap"]
+        flat = jnp.zeros((bp.B * rcap * c_,), dtype=dtype)
+        if len(spec["pos"]):
+            flat = flat.at[jnp.asarray(spec["pos"])].set(
+                jnp.asarray(np.asarray(spec["vals"], dtype=dtype)),
                 unique_indices=True, mode="promise_in_bounds")
-        cross[name] = flat.reshape(bp.B, r_, c_)
+        strip = flat.reshape(bp.B, rcap, c_)
+        rows = jnp.asarray(spec["rows"])                      # [B, rcap]
+        U = (rows[:, None, :] == jnp.arange(r_)[None, :, None]).astype(dtype)
+        cross[name] = (U, jnp.swapaxes(strip, -1, -2))        # V [B, c, rcap]
     key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), 7000 + bidx)
     return structured_factor_batch(
         sh1, sh2, cross, jnp.asarray(bp.smap), bp.cplan,

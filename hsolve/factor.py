@@ -174,6 +174,42 @@ class Factorization:
             out["saturated"] = out["saturated"] or sat
         return out
 
+    def cond_report(self) -> dict:
+        """Pivot-block conditioning diagnostics for the explicit-inverse mode.
+
+        ``opts.explicit_inverse`` applies ``D^{-1}`` as one GEMM; its forward
+        error grows like ``cond(D) * eps`` per level, while triangular solves
+        stay backward stable.  ``diag_ratio`` — ``max_i |U_ii| / min_i |U_ii|``
+        of each level's pivot LU — is the standard cheap proxy bounding the
+        pivot growth (planner-padded rows carry unit diagonals, which can only
+        widen the ratio, so the estimate is conservative).  ``risky`` flags
+        levels whose ratio comes within 100x of ``1/eps`` of the factorization
+        dtype: there an explicit inverse may start costing GMRES iterations —
+        re-factor with ``explicit_inverse=False``.  One device->host fetch.
+        """
+        ratios, tags = [], []
+        for i, lev in enumerate(self.levels):
+            lu = getattr(lev, "lu", None)
+            if lu is None or lu.shape[-1] == 0:
+                continue
+            d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+            ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
+            tags.append((i, jnp.finfo(lu.dtype).eps))
+        if self.root is not None and getattr(self.root, "lu", None) is not None:
+            d = jnp.abs(jnp.diagonal(self.root.lu))
+            ratios.append(jnp.max(d) / jnp.min(d))
+            tags.append(("root", jnp.finfo(self.root.lu.dtype).eps))
+        vals = np.asarray(jax.device_get(jnp.stack(ratios))) if ratios else []
+        out = {"levels": [], "max_ratio": 0.0, "risky": False,
+               "explicit_inverse": bool(self.opts.explicit_inverse)}
+        for (tag, eps), v in zip(tags, vals):
+            risky = bool(v > 0.01 / eps)
+            out["levels"].append({"level": tag, "diag_ratio": float(v),
+                                  "risky": risky})
+            out["max_ratio"] = max(out["max_ratio"], float(v))
+            out["risky"] = out["risky"] or risky
+        return out
+
     @property
     def solve_data(self):
         """Pytree of everything ``solve`` needs - pass as jit operands (with

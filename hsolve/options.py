@@ -50,7 +50,9 @@ class SolverOptions:
                               # pivot-block memory and backward stability (forward
                               # error ~cond(D)*eps per level).  None = auto: on for
                               # TPU backends, off elsewhere (CPU/f64 runs keep
-                              # reference-parity triangular solves).
+                              # reference-parity triangular solves).  Guard:
+                              # Factorization.cond_report() flags levels whose
+                              # pivot growth approaches 1/eps - set False there.
     adaptive: bool = False    # after a compressed factorization, check the computed
                               # interpolation ranks against the planned caps and
                               # re-factor with doubled caps on saturation (host-loop

@@ -101,3 +101,32 @@ def test_options_parity():
     # negative swlevel resolution (factorization.jl:8)
     assert o2.resolve_swlevel(tree_depth=7) == 5
     assert SolverOptions(swlevel=3).resolve_swlevel(7) == 3
+
+
+def test_cond_report_explicit_inverse_guard():
+    """explicit_inverse trades backward stability for GEMM solve sweeps
+    (options.py); cond_report's diag-ratio proxy must (a) stay quiet on a
+    well-scaled problem where both modes deliver a direct solve, and (b) flag
+    a pivot growth approaching 1/eps, where the explicit inverse is unsafe."""
+    import scipy.sparse as sp
+
+    A, b, shape = poisson2d(33)
+    tree = nested_dissection(shape, leafmax=30)
+    res = {}
+    for ei in (False, True):
+        F = factor(A, tree, swlevel=0, explicit_inverse=ei)
+        x = np.asarray(F.solve(b))
+        res[ei] = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    rep = F.cond_report()
+    assert rep["levels"] and rep["max_ratio"] >= 1.0
+    assert not rep["risky"]  # poisson diag ratios are mesh-bounded, << 1/eps
+    # both modes are valid direct solvers here (f64: cond*eps still tiny)
+    assert res[False] < 1e-12 and res[True] < 1e-9, res
+
+    # grade the unknowns over 16 decades: front pivot growth ~ the scaling
+    # spread, within 100x of 1/eps(f64) -> the guard must trip
+    s = np.logspace(0.0, 16.0, A.shape[0])
+    D = sp.diags(s)
+    As = (D @ A @ D).tocsr()
+    F2 = factor(As, tree, swlevel=0, explicit_inverse=True)
+    assert F2.cond_report()["risky"]

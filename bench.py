@@ -97,15 +97,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
+    keepalive_stop = None
+    keepalive_thread = None
     if not args.cpu:
         # keep-alive: the TPU tunnel drops the transfer path after long idle
         # stretches (observed during multi-minute compiles); a tiny periodic
         # device->host fetch from a side thread keeps it open
         import threading
 
+        keepalive_stop = threading.Event()
+
         def _keepalive():
             one = jnp.ones(())
-            while True:
+            while not keepalive_stop.is_set():
                 try:
                     # block_until_ready (not a data fetch): a device->host data
                     # fetch permanently drops the axon session into a synchronous
@@ -114,9 +118,10 @@ def main():
                     jax.block_until_ready(one + 0.0)
                 except Exception:
                     pass
-                time.sleep(45.0)
+                keepalive_stop.wait(45.0)
 
-        threading.Thread(target=_keepalive, daemon=True).start()
+        keepalive_thread = threading.Thread(target=_keepalive, daemon=True)
+        keepalive_thread.start()
 
     import hsolve
     from hsolve.planner import plan_factorization
@@ -312,6 +317,15 @@ def main():
             "without gmres diagnostics")
         emit()
         os._exit(0)
+
+    # quiesce the keepalive thread BEFORE the fetch: a concurrent
+    # block_until_ready from the side thread racing the main thread's
+    # device_get can wedge the axon client (observed: warm runs whose
+    # lifetime spanned a keepalive tick hung 100% of the time on this
+    # fetch, while sub-45s runs fetched fine)
+    if keepalive_stop is not None:
+        keepalive_stop.set()
+        keepalive_thread.join(timeout=60.0)
 
     wd = threading.Timer(fetch_timeout, _fetch_watchdog)
     wd.daemon = True

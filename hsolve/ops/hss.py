@@ -267,36 +267,55 @@ def hss_todense(h: Hss) -> jax.Array:
     return A
 
 
-def hss_entries(h: Hss, rows: jax.Array, cols: jax.Array) -> jax.Array:
-    """Batched entry extraction S[rows[i], cols[j]] -> [len(rows), len(cols)].
+def hss_entry_factors(h: Hss):
+    """Precompute per-level entry-evaluation factors for :func:`hss_entries_prepared`.
 
-    Uses the materialized per-level bases and the LCA level of each (row, col) pair
-    (the device equivalent of HssMatrices ``getindex`` via generator products)."""
+    Entry ``S[i, j]`` whose (i, j) leaf-pair LCA sits at level ``lev`` equals
+    ``U_i B V_j^T`` = ``T[lev][i] . Vbig[lev][j]`` where ``T[lev][i]`` folds the row
+    basis and the B generator of i's node (picking B12/B21 by which child i sits
+    in).  Computing ``T``/``Vbig`` ONCE per matrix makes every subsequent entry
+    extraction two gathers and a dot - the randomized interpolative construction
+    evaluates O(depth * rank) blocks of the same operand, and re-materializing
+    bases per call dominated both trace size and device FLOPs."""
     p = h.plan
     Ubig, Vbig = materialize_bases(h)
-    li = rows // p.ls                                  # leaf of each row
-    lj = cols // p.ls
-    out = jnp.zeros((rows.shape[0], cols.shape[0]), dtype=h.D.dtype)
+    li = jnp.arange(p.n_pad) // p.ls
+    T = []
+    for lev in range(1, p.depth + 1):
+        node_r = li >> lev
+        left_first = ((li >> (lev - 1)) & 1) == 0     # row sits in the left child
+        t12 = jnp.einsum("ik,ikl->il", Ubig[lev - 1], h.B12s[lev - 1][node_r])
+        t21 = jnp.einsum("ik,ikl->il", Ubig[lev - 1], h.B21s[lev - 1][node_r])
+        T.append(jnp.where(left_first[:, None], t12, t21))
+    return (h.D, tuple(T), tuple(Vbig))
+
+
+def hss_entries_prepared(ef, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """Entry extraction ``S[rows[i], cols[j]] -> [len(rows), len(cols)]`` from
+    :func:`hss_entry_factors` output (the device equivalent of HssMatrices
+    ``getindex`` via generator products)."""
+    D, T, V = ef
+    ls = D.shape[-1]
+    li = rows // ls                                   # leaf of each row
+    lj = cols // ls
+    out = jnp.zeros((rows.shape[0], cols.shape[0]), dtype=D.dtype)
     # same-leaf pairs: D entries
     same = li[:, None] == lj[None, :]
-    dvals = h.D[li[:, None], rows[:, None] % p.ls, cols[None, :] % p.ls]
+    dvals = D[li[:, None], rows[:, None] % ls, cols[None, :] % ls]
     # mask to same-leaf (gathered D is only meaningful there)
     out = jnp.where(same, dvals, out)
     x = (li[:, None] ^ lj[None, :])
     lca = jnp.where(x > 0, jnp.ceil(jnp.log2(x + 1)).astype(jnp.int32), 0)  # 1..depth
-    for lev in range(1, p.depth + 1):
-        # values are only kept where lca == lev, i.e. li>>lev == lj>>lev; so the B
-        # block can be gathered per ROW (its node id) instead of per pair
-        node_r = li >> lev                            # [nr]
-        left_first = ((li >> (lev - 1)) & 1) == 0     # row sits in the left child
-        Ub = Ubig[lev - 1][rows]                      # [nr, r]
-        Vb = Vbig[lev - 1][cols]                      # [nc, r]
-        t12 = jnp.einsum("ik,ikl->il", Ub, h.B12s[lev - 1][node_r])
-        t21 = jnp.einsum("ik,ikl->il", Ub, h.B21s[lev - 1][node_r])
-        t = jnp.where(left_first[:, None], t12, t21)  # [nr, r]
-        val = t @ Vb.T                                # [nr, nc]
+    for lev in range(1, len(T) + 1):
+        val = T[lev - 1][rows] @ V[lev - 1][cols].T
         out = jnp.where(lca == lev, val, out)
     return out
+
+
+def hss_entries(h: Hss, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """One-shot entry extraction; for repeated extraction from the same matrix,
+    hoist :func:`hss_entry_factors` and call :func:`hss_entries_prepared`."""
+    return hss_entries_prepared(hss_entry_factors(h), rows, cols)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,8 @@ import numpy as np
 
 from hsolve.ops import dense as dk
 from hsolve.ops.hss import (ClusterPlan, Hss, HssSolver, generators,
-                            hss_compress_dense, hss_entries, hss_factor, hss_matvec,
+                            hss_compress_dense, hss_entry_factors,
+                            hss_entries_prepared, hss_factor, hss_matvec,
                             hss_randcompress_batched, hss_solve, hss_sub, hss_todense)
 
 # Internal tightening of the HSS compression tolerances relative to the user's
@@ -277,18 +278,23 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
                                          _SAFETY * rtol, rank_cap))(S22d)
         maxed22 = jnp.zeros((sh1.n1.shape[0],), jnp.int32)
     else:
+        # entry factors hoisted ONCE per operand: the interpolative construction
+        # extracts O(depth * rank) blocks of the same matrix, and re-deriving the
+        # generator products per block dominated trace size and device FLOPs
+        ef2 = jax.vmap(hss_entry_factors)(A11_2)
+
         def s22_sample(op, X, adjoint):
-            H2n, Gn, Vn = op
+            H2n, Gn, Vn, _ = op
             if not adjoint:
                 return hss_matvec(H2n, X) - Gn @ (Vn.T @ X)
             return hss_matvec(H2n, X, adjoint=True) - Vn @ (Gn.T @ X)
 
         def s22_blocks(op, rows_, cols_):
-            H2n, Gn, Vn = op
-            return hss_entries(H2n, rows_, cols_) - Gn[rows_] @ Vn[cols_].T
+            _, Gn, Vn, efn = op
+            return hss_entries_prepared(efn, rows_, cols_) - Gn[rows_] @ Vn[cols_].T
 
         hssS22, maxed22 = hss_randcompress_batched(
-            s22_sample, s22_blocks, (A11_2, G21, Vi12), A11_2.plan,
+            s22_sample, s22_blocks, (A11_2, G21, Vi12, ef2), A11_2.plan,
             jax.random.fold_in(key, 203), _SAFETY * atol, _SAFETY * rtol,
             rank_cap, kest=kest, stepsize=max(stepsize, 8))
     solver22 = jax.vmap(hss_factor)(hssS22)
@@ -337,10 +343,12 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
     RV = AibV
     nq = q1 + q2
 
-    s_ops = (A22_1, A22_2, Ubb12, Vbb12, Ubb21, Vbb21, KU, RV, smap)
+    efb1 = jax.vmap(hss_entry_factors)(A22_1)
+    efb2 = jax.vmap(hss_entry_factors)(A22_2)
+    s_ops = (A22_1, A22_2, Ubb12, Vbb12, Ubb21, Vbb21, KU, RV, smap, efb1, efb2)
 
     def s_sample(op, X, adjoint):
-        A1, A2, Ub12, Vb12, Ub21, Vb21, KUn, RVn, sm = op
+        A1, A2, Ub12, Vb12, Ub21, Vb21, KUn, RVn, sm = op[:9]
         s = X.shape[-1]
         Xb = jnp.zeros((nq + 1, s), dtype=X.dtype)
         Xb = Xb.at[sm].add(X)                            # pad -> bnd layout
@@ -359,15 +367,17 @@ def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
         return jnp.where((sm < nq)[:, None], Y, X)       # identity on padding
 
     def s_blocks(op, rows, cols):
-        A1, A2, Ub12, Vb12, Ub21, Vb21, KUn, RVn, sm = op
+        _, _, Ub12, Vb12, Ub21, Vb21, KUn, RVn, sm, ef1, ef2_ = op
         rb = sm[rows]
         cb = sm[cols]
         rv, cv = rb < nq, cb < nq
         r1, c1 = rb < q1, cb < q1
         rbc = jnp.minimum(rb, nq - 1)
         cbc = jnp.minimum(cb, nq - 1)
-        e11 = hss_entries(A1, jnp.minimum(rbc, q1 - 1), jnp.minimum(cbc, q1 - 1))
-        e22 = hss_entries(A2, jnp.maximum(rbc - q1, 0), jnp.maximum(cbc - q1, 0))
+        e11 = hss_entries_prepared(ef1, jnp.minimum(rbc, q1 - 1),
+                                   jnp.minimum(cbc, q1 - 1))
+        e22 = hss_entries_prepared(ef2_, jnp.maximum(rbc - q1, 0),
+                                   jnp.maximum(cbc - q1, 0))
         e12 = Ub12[jnp.minimum(rbc, q1 - 1)] @ Vb12[jnp.maximum(cbc - q1, 0)].T
         e21 = Ub21[jnp.maximum(rbc - q1, 0)] @ Vb21[jnp.minimum(cbc, q1 - 1)].T
         both1 = r1[:, None] & c1[None, :]

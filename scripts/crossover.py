@@ -31,28 +31,42 @@ def run_grid(sizes, atol, outdir):
                 continue
             cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--n", str(n)] \
                 + extra
-            # the remote-TPU link sporadically drops mid-fetch (bench exits via
-            # its watchdog); retry with backoff instead of aborting the sweep
+            # Two failure modes, both retryable: (a) the remote-TPU link drops
+            # mid-fetch and bench's watchdog emits JSON with gmres_iters=null
+            # (cold multi-minute compiles degrade the link; the retry hits the
+            # persistent compile cache, runs warm, and the fetch succeeds);
+            # (b) the process dies/times out.  Keep a null-diagnostics JSON as
+            # a last resort but prefer a complete one.
+            env = dict(os.environ, HSOLVE_FETCH_TIMEOUT="120")
+            best_txt = None
             for attempt in range(3):
                 print("::", " ".join(cmd),
                       f"(attempt {attempt + 1})", flush=True)
                 try:
-                    with open(path, "w") as f:
-                        r = subprocess.run(cmd, stdout=f, timeout=3600)
-                    ok = r.returncode == 0 and os.path.getsize(path)
+                    r = subprocess.run(cmd, capture_output=True, text=True,
+                                       timeout=3600, env=env)
+                    txt = r.stdout.strip()
+                    sys.stderr.write(r.stderr[-2000:])
+                    ok = r.returncode == 0 and txt
                 except subprocess.TimeoutExpired:
                     print(f":: h{n}_{mode} attempt {attempt + 1} timed out",
                           flush=True)
-                    ok = False
+                    ok, txt = False, ""
                 if ok:
-                    break
+                    best_txt = txt
+                    d = json.loads(txt.splitlines()[-1])
+                    if d["detail"].get("gmres_iters") is not None:
+                        break
+                    print(f":: h{n}_{mode} attempt {attempt + 1}: diagnostics "
+                          "fetch hung; retrying warm", flush=True)
                 if attempt < 2:
-                    time.sleep(90)
+                    time.sleep(30)
+            if best_txt:
+                with open(path, "w") as f:
+                    f.write(best_txt + "\n")
             else:
                 print(f":: giving up on h{n}_{mode}", flush=True)
                 failed.append(f"h{n}_{mode}")
-                if os.path.exists(path):
-                    os.remove(path)
     if failed:
         print(":: failed configs:", ", ".join(failed), flush=True)
     return outdir

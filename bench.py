@@ -331,8 +331,11 @@ def main():
     wd.daemon = True
     wd.start()
 
-    # ONE stacked fetch for every rep's (iters, relres) - see the note in run_once
-    diags = np.asarray(jax.device_get(jnp.stack([d for (_, _, d) in reps_out])))
+    # fetch every rep's (iters, relres) - the per-rep [2] arrays were already
+    # computed during the reps; fetching them directly avoids dispatching a NEW
+    # stack program at fetch time (a fresh tiny compile over a degraded remote
+    # link can itself take minutes and blow the watchdog)
+    diags = np.asarray(jax.device_get([d for (_, _, d) in reps_out]))
     for rep, (t_s, t_v, _) in enumerate(reps_out):
         iters, res = int(diags[rep, 0]), float(diags[rep, 1])
         log(f"rep {rep}: setup={t_s:.3f}s solve={t_v:.3f}s "

@@ -35,11 +35,14 @@ CONFIGS = [
 
 COMPRESSED_OPTS = dict(swlevel=-2, swsize=480, atol=1e-2, rtol=1e-2,
                        kest=200, stepsize=100, leafsize=120)
-# the canonical swsize=480 never triggers on these geometric trees (top boundaries
-# are < 480 DOFs at h <= 1/128), making "compressed" identical to exact - faithful
-# to the config but uninformative; the "active" variant drops the size gate to the
-# reference default swsize=1 (HierarchicalSolvers.jl:45) so compression engages
-ACTIVE_OPTS = dict(COMPRESSED_OPTS, swsize=1)
+# the canonical swsize=480 is a scale gate: boundaries of ANY nested-dissection
+# tree of these meshes are O(h) < 480 at h <= 1/128 (tests/test_parity.py), so
+# "compressed" is identical to exact at the shipped sizes - faithful to the
+# config but uninformative; the "active" variant drops the size gate to the
+# reference default swsize=1 (HierarchicalSolvers.jl:45) so compression engages,
+# with adaptive=True (the randcompress_adaptive growth loop analog: saturated
+# interpolation ranks trigger a replan with doubled caps)
+ACTIVE_OPTS = dict(COMPRESSED_OPTS, swsize=1, adaptive=True)
 
 
 def run_config(problem, n):

@@ -258,10 +258,13 @@ class BlockGatherBuilder:
 
 def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
                    rl: np.ndarray, cs: np.ndarray, cl: np.ndarray,
-                   out_off: np.ndarray, out_stride: np.ndarray):
+                   out_off: np.ndarray, out_stride: np.ndarray,
+                   bound: "int | None" = None):
     """COO gather of many blocks whose row/col index vectors are segments of one
     shared ``pool`` (vectorized planner assembly: no per-block Python arrays).
-    Returns (pos [nnz] int64, vals [nnz])."""
+    Returns (pos [nnz] int64, vals [nnz]).  ``bound`` caps the emitted pairs
+    (callers that know their row segments can pass the exact row-nnz sum and
+    skip the conservative whole-pool scan below)."""
     g = gather
     dt = np.complex128 if np.iscomplexobj(g.A.data) else np.float64
     nblocks = len(rs)
@@ -283,10 +286,12 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
         if not poss:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
         return np.concatenate(poss), np.concatenate(vals)
-    counts = g.indptr[1:] - g.indptr[:-1]
-    # every pool segment appears as block rows at most twice in the planner's
-    # front layout (int rows of [ii, ib]; bnd rows of [bi, bb]; same for branches)
-    bound = 2 * int(np.sum(counts[pool])) if len(pool) else 0
+    if bound is None:
+        counts = g.indptr[1:] - g.indptr[:-1]
+        # every pool segment appears as block rows at most twice in the planner's
+        # front layout (int rows of [ii, ib]; bnd rows of [bi, bb]; same for
+        # branches)
+        bound = 2 * int(np.sum(counts[pool])) if len(pool) else 0
     # reuse one geometrically-grown workspace per gather context: the bound
     # over-allocates ~2x, and fresh 100MB+ mmap'd buffers per batch made the
     # planner page-fault-bound at large N

@@ -181,7 +181,8 @@ def cross_block_shapes(child_cplans) -> Dict[str, Tuple[int, int]]:
 
 
 def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
-                           child_cplans, levels, s_loc, opts, N, bidx) -> BatchPlan:
+                           child_cplans, levels, s_loc, opts, N, bidx,
+                           cnnz=None) -> BatchPlan:
     """Plan a fully-structured compressed batch in *child-aligned* coordinates.
 
     Thanks to the ``[int_loc; bnd_loc]`` storage discipline every child-to-parent index
@@ -197,62 +198,134 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
     np_pad = cplan.n_pad
-
-    ni1 = np.zeros(B, dtype=np.int64)
-    ni2 = np.zeros(B, dtype=np.int64)
-    nb1 = np.zeros(B, dtype=np.int64)
-    nb2 = np.zeros(B, dtype=np.int64)
-    int_ids = np.full((B, h1 + h2), N, dtype=np.int32)
-    bnd_ids = np.full((B, q1 + q2), N, dtype=np.int32)
-    smap = np.full((B, np_pad), q1 + q2, dtype=np.int32)
     shapes = cross_block_shapes(child_cplans)
-    from hsolve.native import BlockGatherBuilder
+    nodes_arr = np.asarray(nodes, dtype=np.int64)
+    # the 8 cross couplings, each (row segment, col segment, out stride):
+    _CROSS = (("ci12", "i1", "i2"), ("ci21", "i2", "i1"),
+              ("cib12", "i1", "b2"), ("cib21", "i2", "b1"),
+              ("cbi12", "b1", "i2"), ("cbi21", "b2", "i1"),
+              ("cbb12", "b1", "b2"), ("cbb21", "b2", "b1"))
 
-    builders = {name: BlockGatherBuilder(gather) for name in shapes}
-    for b, node in enumerate(nodes):
-        node = int(node)
-        l, r = int(tree.left[node]), int(tree.right[node])
-        ki1, kb1 = len(loc.int_loc[l]), len(loc.bnd_loc[l])
-        ki2, kb2 = len(loc.int_loc[r]), len(loc.bnd_loc[r])
-        ni1[b], ni2[b], nb1[b], nb2[b] = ki1, ki2, kb1, kb2
-        ints = tree.int_idx[node]
-        bnds = tree.bnd_idx[node]
-        i1, i2 = ints[:ki1], ints[ki1:]
-        b1, b2 = bnds[:kb1], bnds[kb1:]
-        int_ids[b, :ki1] = i1
-        int_ids[b, h1: h1 + ki2] = i2
-        bnd_ids[b, :kb1] = b1
-        bnd_ids[b, q1: q1 + kb2] = b2
-        # one native gather call per cross-block name for the whole batch (a
-        # per-node-per-block python/ctypes loop dominated compressed planning)
-        for name, rows, cols, w in (("ci12", i1, i2, h2), ("ci21", i2, i1, h1),
-                                    ("cib12", i1, b2, q2), ("cib21", i2, b1, q1),
-                                    ("cbi12", b1, i2, h2), ("cbi21", b2, i1, h1),
-                                    ("cbb12", b1, b2, q2), ("cbb21", b2, b1, q1)):
-            if len(rows) and len(cols):
-                r_, c_ = shapes[name]
-                builders[name].add(rows, cols, b * r_ * c_, stride=w)
+    pool_t = getattr(tree, "_pool", None)
+    if pool_t is not None and loc.pool is not None and B0:
+        # fully vectorized pooled path: all index bookkeeping as whole-batch
+        # numpy on the shared symfact pools, cross couplings as ONE pooled
+        # native COO gather per block name (the per-node python loop dominated
+        # compressed planning once the regular path went native)
+        lefts = tree.left[nodes_arr].astype(np.int64)
+        rights = tree.right[nodes_arr].astype(np.int64)
+        off_n = tree._pool_off[nodes_arr].astype(np.int64)
+        ki1 = loc.n_int[lefts].astype(np.int64)
+        kb1 = loc.n_bnd[lefts].astype(np.int64)
+        ki2 = loc.n_int[rights].astype(np.int64)
+        kb2 = loc.n_bnd[rights].astype(np.int64)
+        ni_n = tree._pool_ni[nodes_arr].astype(np.int64)   # = ki1 + ki2
+        ni1 = np.zeros(B, dtype=np.int64)
+        ni2 = np.zeros(B, dtype=np.int64)
+        nb1 = np.zeros(B, dtype=np.int64)
+        nb2 = np.zeros(B, dtype=np.int64)
+        ni1[:B0], ni2[:B0], nb1[:B0], nb2[:B0] = ki1, ki2, kb1, kb2
+
+        pmax = max(len(pool_t) - 1, 0)
+
+        def _ids(width, start, count):
+            j = np.arange(width, dtype=np.int64)[None, :]
+            src = np.minimum(start[:, None] + j, pmax)
+            return np.where(j < count[:, None], pool_t[src], N).astype(np.int32)
+
+        int_ids = np.full((B, h1 + h2), N, dtype=np.int32)
+        bnd_ids = np.full((B, q1 + q2), N, dtype=np.int32)
+        int_ids[:B0, :h1] = _ids(h1, off_n, ki1)
+        int_ids[:B0, h1:] = _ids(h2, off_n + ki1, ki2)
+        bnd_ids[:B0, :q1] = _ids(q1, off_n + ni_n, kb1)
+        bnd_ids[:B0, q1:] = _ids(q2, off_n + ni_n + kb1, kb2)
 
         # parent-S HSS pad coord -> child-aligned boundary position
-        if loc.pool is not None:
-            o = loc.off[node]
-            perm_s = loc.pool[o: o + int(loc.n_int[node] + loc.n_bnd[node])]
-        else:
-            perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
-        pos = np.where(perm_s < kb1, perm_s, q1 + perm_s - kb1)
-        k1, k2 = int(n1[b]), int(n2[b])
-        smap[b, :k1] = pos[:k1]
-        smap[b, cplan.half: cplan.half + k2] = pos[k1:]
+        k1 = n1[:B0].astype(np.int64)
+        k2 = n2[:B0].astype(np.int64)
+        o_l = loc.off[nodes_arr].astype(np.int64)
+        lmax = max(len(loc.pool) - 1, 0)
+        j = np.arange(np_pad, dtype=np.int64)[None, :]
+        srcj = np.where(j < k1[:, None], j, np.maximum(
+            k1[:, None] + j - cplan.half, 0))
+        valid = (j < k1[:, None]) | ((j >= cplan.half)
+                                     & (j < cplan.half + k2[:, None]))
+        perm_sj = loc.pool[np.minimum(o_l[:, None] + srcj, lmax)]
+        posj = np.where(perm_sj < kb1[:, None], perm_sj,
+                        q1 + perm_sj - kb1[:, None])
+        smap = np.full((B, np_pad), q1 + q2, dtype=np.int32)
+        smap[:B0] = np.where(valid, posj, q1 + q2)
 
-    # COO per cross-block -> exact skinny strips: only the junction nonzeros are
-    # stored, and the block never materializes dense on device either - it is
-    # consumed as the exact factorization E @ S (see _coo_to_strip)
-    cross = {name: _coo_to_strip(*bld.run_coo(shapes[name][1]), B,
-                                 *shapes[name])
-             for name, bld in builders.items()}
+        # segment table for the pooled COO gathers + exact per-call bounds
+        from hsolve.native import run_coo_pooled
+
+        segs = {"i1": (off_n, ki1), "i2": (off_n + ki1, ki2),
+                "b1": (off_n + ni_n, kb1), "b2": (off_n + ni_n + kb1, kb2)}
+        if cnnz is None:
+            counts = np.diff(gather.A.indptr).astype(np.int64)
+            cnnz = np.zeros(len(pool_t) + 1, dtype=np.int64)
+            np.cumsum(counts[pool_t], out=cnnz[1:])
+        out_off0 = np.arange(B0, dtype=np.int64)
+        cross = {}
+        for name, rseg, cseg in _CROSS:
+            r_, c_ = shapes[name]
+            rs, rl = segs[rseg]
+            bound = int(np.sum(cnnz[rs + rl] - cnnz[rs]))
+            pos, vals = run_coo_pooled(
+                gather, pool_t, rs, rl, *segs[cseg], out_off0 * (r_ * c_),
+                np.full(B0, c_, dtype=np.int64), bound=bound)
+            cross[name] = _coo_to_strip(pos, vals, B, r_, c_)
+    else:
+        ni1 = np.zeros(B, dtype=np.int64)
+        ni2 = np.zeros(B, dtype=np.int64)
+        nb1 = np.zeros(B, dtype=np.int64)
+        nb2 = np.zeros(B, dtype=np.int64)
+        int_ids = np.full((B, h1 + h2), N, dtype=np.int32)
+        bnd_ids = np.full((B, q1 + q2), N, dtype=np.int32)
+        smap = np.full((B, np_pad), q1 + q2, dtype=np.int32)
+        from hsolve.native import BlockGatherBuilder
+
+        builders = {name: BlockGatherBuilder(gather) for name in shapes}
+        for b, node in enumerate(nodes):
+            node = int(node)
+            l, r = int(tree.left[node]), int(tree.right[node])
+            ki1, kb1 = len(loc.int_loc[l]), len(loc.bnd_loc[l])
+            ki2, kb2 = len(loc.int_loc[r]), len(loc.bnd_loc[r])
+            ni1[b], ni2[b], nb1[b], nb2[b] = ki1, ki2, kb1, kb2
+            ints = tree.int_idx[node]
+            bnds = tree.bnd_idx[node]
+            i1, i2 = ints[:ki1], ints[ki1:]
+            b1, b2 = bnds[:kb1], bnds[kb1:]
+            int_ids[b, :ki1] = i1
+            int_ids[b, h1: h1 + ki2] = i2
+            bnd_ids[b, :kb1] = b1
+            bnd_ids[b, q1: q1 + kb2] = b2
+            seg = {"i1": i1, "i2": i2, "b1": b1, "b2": b2}
+            for name, rseg, cseg in _CROSS:
+                rows, cols = seg[rseg], seg[cseg]
+                if len(rows) and len(cols):
+                    r_, c_ = shapes[name]
+                    builders[name].add(rows, cols, b * r_ * c_, stride=c_)
+
+            # parent-S HSS pad coord -> child-aligned boundary position
+            if loc.pool is not None:
+                o = loc.off[node]
+                perm_s = loc.pool[o: o + int(loc.n_int[node] + loc.n_bnd[node])]
+            else:
+                perm_s = np.concatenate([loc.int_loc[node], loc.bnd_loc[node]])
+            pos = np.where(perm_s < kb1, perm_s, q1 + perm_s - kb1)
+            k1, k2 = int(n1[b]), int(n2[b])
+            smap[b, :k1] = pos[:k1]
+            smap[b, cplan.half: cplan.half + k2] = pos[k1:]
+
+        # COO per cross-block -> exact skinny strips: only the junction nonzeros
+        # are stored, and the block never materializes dense on device either -
+        # it is consumed as the exact factorization E @ S (see _coo_to_strip)
+        cross = {name: _coo_to_strip(*bld.run_coo(shapes[name][1]), B,
+                                     *shapes[name])
+                 for name, bld in builders.items()}
 
     s_batch, s_row = s_loc
-    nodes_arr = np.asarray(nodes, dtype=np.int64)
 
     def _mk(kids):
         out = []
@@ -696,7 +769,8 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             if child_cplans is not None and cplan is not None:
                 bp = _plan_structured_batch(
                     gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cplan,
-                    child_cplans, levels, (s_batch, s_row), opts, N, bidx)
+                    child_cplans, levels, (s_batch, s_row), opts, N, bidx,
+                    cnnz=cs if pools is not None else None)
                 batches.append(bp)
                 s_batch[nodes] = bidx
                 s_row[nodes] = np.arange(B0, dtype=np.int64)

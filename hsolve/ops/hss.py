@@ -299,9 +299,9 @@ def hss_entries_prepared(ef, rows: jax.Array, cols: jax.Array) -> jax.Array:
     li = rows // ls                                   # leaf of each row
     lj = cols // ls
     out = jnp.zeros((rows.shape[0], cols.shape[0]), dtype=D.dtype)
-    # same-leaf pairs: D entries
+    # same-leaf pairs: D entries, as two flat gathers (row slab, then column)
     same = li[:, None] == lj[None, :]
-    dvals = D[li[:, None], rows[:, None] % ls, cols[None, :] % ls]
+    dvals = D.reshape(-1, ls)[rows][:, cols % ls]
     # mask to same-leaf (gathered D is only meaningful there)
     out = jnp.where(same, dvals, out)
     x = (li[:, None] ^ lj[None, :])

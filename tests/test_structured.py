@@ -55,3 +55,43 @@ def test_structured_preconditioner_gmres_iters():
     res = np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) / np.linalg.norm(b)
     assert info["converged"] and res < 1e-9
     assert info["iters"] <= 20
+
+
+def test_structured_planner_pooled_matches_fallback(monkeypatch):
+    """The vectorized pooled structured-batch planner must produce exactly the
+    same batch data as the per-node fallback loop (which runs when symfact's
+    native pooled path is unavailable)."""
+    import numpy as np
+    import hsolve
+    from hsolve.planner import plan_factorization
+    from hsolve.utils import trees as trees_mod
+
+    A, b, shape = hsolve.helmholtz2d(48, k=15.0)
+    opts = hsolve.SolverOptions(swlevel=-3, swsize=1, atol=1e-4, rtol=1e-4)
+
+    def build():
+        tree = hsolve.nested_dissection(shape, leafmax=60)
+        return plan_factorization(A, tree, opts)
+
+    plan_pooled = build()
+    monkeypatch.setattr(trees_mod, "_symfact_native",
+                        lambda *a, **k: None)
+    plan_loop = build()
+
+    sb_p = [bp for bp in plan_pooled.batches if bp.structured]
+    sb_l = [bp for bp in plan_loop.batches if bp.structured]
+    assert sb_p and len(sb_p) == len(sb_l)
+    for bp, bl in zip(sb_p, sb_l):
+        np.testing.assert_array_equal(bp.int_ids, bl.int_ids)
+        np.testing.assert_array_equal(bp.bnd_ids, bl.bnd_ids)
+        np.testing.assert_array_equal(bp.smap, bl.smap)
+        for k in ("ni1", "ni2", "nb1", "nb2"):
+            np.testing.assert_array_equal(bp.cross[k], bl.cross[k])
+        for name in ("ci12", "ci21", "cib12", "cib21",
+                     "cbi12", "cbi21", "cbb12", "cbb21"):
+            sp, sl = bp.cross[name], bl.cross[name]
+            assert (sp["rcap"], sp["r"], sp["c"]) == (sl["rcap"], sl["r"], sl["c"])
+            np.testing.assert_array_equal(sp["rows"], sl["rows"])
+            op, ol = np.argsort(sp["pos"]), np.argsort(sl["pos"])
+            np.testing.assert_array_equal(sp["pos"][op], sl["pos"][ol])
+            np.testing.assert_allclose(sp["vals"][op], sl["vals"][ol], rtol=1e-15)

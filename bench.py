@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--damping", type=float, default=0.0,
                     help="impedance damping for helmholtz2d (complex problem)")
     ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
+    ap.add_argument("--explicit-inverse", default=None, choices=["0", "1"],
+                    help="override the explicit-inverse solve mode (default: auto)")
     args = ap.parse_args()
 
     import jax
@@ -152,6 +154,8 @@ def main():
     opts = hsolve.SolverOptions(swlevel=args.swlevel, swsize=args.swsize)
     if args.atol is not None:
         opts = opts.replace(atol=args.atol, rtol=args.atol)
+    if args.explicit_inverse is not None:
+        opts = opts.replace(explicit_inverse=args.explicit_inverse == "1")
 
     # symbolic phase runs once per problem; its (host) time counts toward setup,
     # while jit compilation is excluded via warm-up reps (standard accelerator

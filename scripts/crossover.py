@@ -46,7 +46,7 @@ def run_grid(sizes, atol, outdir):
                     r = subprocess.run(cmd, capture_output=True, text=True,
                                        timeout=3600, env=env)
                     txt = r.stdout.strip()
-                    sys.stderr.write(r.stderr[-2000:])
+                    sys.stderr.write(r.stderr[-8000:])
                     ok = r.returncode == 0 and txt
                 except subprocess.TimeoutExpired:
                     print(f":: h{n}_{mode} attempt {attempt + 1} timed out",

@@ -21,6 +21,7 @@ list of per-level array stacks (a pytree - checkpointable and shardable).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -541,23 +542,74 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                         np.stack([vals_np.real, vals_np.imag]).astype(rdt))
                 else:
                     vals_flat = jnp.asarray(vals_np)
-                # the jitted closure bakes in the full opts (tolerances, seed, ...) -
-                # key on all of them so a re-factorization with different options
-                # never reuses a stale program
-                key = (str(dtype), "vals", dataclasses.astuple(opts))
-                if key not in cache:
-                    def _run(vf, ps):
-                        if iscx:
-                            vf = (vf[0] + 1j * vf[1]).astype(dtype)
-                        return traced_numeric_phase(
-                            plan,
-                            [build_front_vals(bp,
-                                              jax.lax.slice(vf, (o,), (o + n,)), p)
-                             for bp, (o, n), p in zip(plan.batches, spans, ps)],
-                            opts)
+                chunks = _fuse_chunks(plan)
+                if len(chunks) == 1:
+                    # the jitted closure bakes in the full opts (tolerances,
+                    # seed, ...) - key on all of them so a re-factorization with
+                    # different options never reuses a stale program
+                    key = (str(dtype), "vals", dataclasses.astuple(opts))
+                    if key not in cache:
+                        def _run(vf, ps):
+                            if iscx:
+                                vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                            return traced_numeric_phase(
+                                plan,
+                                [build_front_vals(
+                                    bp, jax.lax.slice(vf, (o,), (o + n,)), p)
+                                 for bp, (o, n), p in zip(plan.batches, spans,
+                                                          ps)],
+                                opts)
 
-                    cache[key] = jax.jit(_run)
-                levels, root = cache[key](vals_flat, pos_list)
+                        cache[key] = jax.jit(_run)
+                    levels, root = cache[key](vals_flat, pos_list)
+                    return Factorization(N=plan.N, perm=plan.perm, levels=levels,
+                                         root=root, opts=opts, plan=plan)
+                # chunked fusion: a handful of bounded-size programs with the
+                # Schur stacks flowing between them as device residents (the
+                # monolithic compressed program OOM-kills the XLA compiler at
+                # h>=384) - still zero host<->device data traffic per chunk
+                nb_ = len(plan.batches)
+                last_use = {}
+                for j, bp in enumerate(plan.batches):
+                    for g in tuple(bp.groups_l) + tuple(bp.groups_r):
+                        last_use[g.src_batch] = max(
+                            last_use.get(g.src_batch, -1), j)
+                last_use[nb_ - 1] = nb_  # the root solve reads the last stack
+                levels = []
+                root = None
+                stacks: dict = {}
+                for lo, hi in chunks:
+                    in_keys = tuple(sorted(stacks))
+                    keep = tuple(sorted(
+                        src for src, last in last_use.items()
+                        if src < hi and last >= hi))
+                    key = (str(dtype), "vals", lo, hi, in_keys, keep,
+                           dataclasses.astuple(opts))
+                    if key not in cache:
+                        def _run_chunk(vf, ps, s_in, lo=lo, hi=hi,
+                                       in_keys=in_keys, keep=keep):
+                            if iscx:
+                                vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                            fr = [build_front_vals(
+                                bp, jax.lax.slice(vf, (o,), (o + n,)), p)
+                                for bp, (o, n), p in zip(
+                                    plan.batches[lo:hi], spans[lo:hi], ps)]
+                            levs, s_out = _traced_range(
+                                plan, fr, opts, lo, hi,
+                                dict(zip(in_keys, s_in)), dtype)
+                            outs = tuple(s_out[k] for k in keep)
+                            if hi == nb_:
+                                return levs, outs, _root_from_stacks(
+                                    plan, s_out, dtype, opts)
+                            return levs, outs
+
+                        cache[key] = jax.jit(_run_chunk)
+                    s_in = tuple(stacks[k] for k in in_keys)
+                    res = cache[key](vals_flat, pos_list[lo:hi], s_in)
+                    levels.extend(res[0])
+                    stacks = dict(zip(keep, res[1]))
+                    if hi == nb_:
+                        root = res[2]
                 return Factorization(N=plan.N, perm=plan.perm, levels=levels,
                                      root=root, opts=opts, plan=plan)
             from hsolve.parallel.dist import shard_level_input
@@ -713,24 +765,25 @@ def _root_from_stacks(plan: Plan, s_stacks, dtype, opts=None):
     return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv)
 
 
-def traced_numeric_phase(plan: Plan, fronts: List[jax.Array], opts=None):
-    """Pure traceable numeric phase: per-batch front buffers in, (levels, root) out.
+def _traced_range(plan: Plan, fronts: List[jax.Array], opts, lo: int, hi: int,
+                  s_stacks: dict, dtype):
+    """Traceable numeric phase for batches ``lo..hi`` (``fronts`` indexed locally).
 
-    Lets the *entire* factorization be staged as one jitted program (the default
-    single-device path and the multi-chip dry-run)."""
+    ``s_stacks`` carries Schur stacks produced by earlier ranges; the returned
+    dict includes this range's products (keys = global batch index).  Staging a
+    long schedule as a handful of bounded-size programs instead of one monolith
+    keeps the XLA compile memory bounded - the fused compressed program at
+    h>=384 got the remote TPU compile helper OOM-killed (SIGKILL) and broke
+    LLVM section allocation on the CPU backend."""
     levels: List[DenseLevel] = []
-    s_stacks = {}
-    dtype = fronts[0].dtype
-    if opts is None:
-        opts = plan.opts or SolverOptions()
-    opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())
-    for bidx, bp in enumerate(plan.batches):
+    for bidx in range(lo, hi):
+        bp = plan.batches[bidx]
         if bp.structured:
             lev, S = _run_structured(bp, s_stacks, opts, dtype, bidx)
             s_stacks[bidx] = S
             levels.append(lev)
             continue
-        front = fronts[bidx]
+        front = fronts[bidx - lo]
         if not bp.is_leaf:
             if bp.groups_l:
                 stage = _stage_children(bp.groups_l, s_stacks, bp.B, bp.sl_pad, dtype)
@@ -746,8 +799,39 @@ def traced_numeric_phase(plan: Plan, fronts: List[jax.Array], opts=None):
                                     bp.cplan, opts.atol, opts.rtol, bp.rank_cap)
         s_stacks[bidx] = S
         levels.append(lev)
+    return levels, s_stacks
+
+
+def traced_numeric_phase(plan: Plan, fronts: List[jax.Array], opts=None):
+    """Pure traceable numeric phase: per-batch front buffers in, (levels, root) out.
+
+    Lets the *entire* factorization be staged as one jitted program (the default
+    single-device path and the multi-chip dry-run)."""
+    dtype = fronts[0].dtype
+    if opts is None:
+        opts = plan.opts or SolverOptions()
+    opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())
+    levels, s_stacks = _traced_range(plan, fronts, opts, 0, len(plan.batches),
+                                     {}, dtype)
     root = _root_from_stacks(plan, s_stacks, dtype, opts)
     return levels, root
+
+
+def _fuse_chunks(plan: Plan) -> List[tuple]:
+    """Split the schedule into contiguous ranges whose estimated traced size
+    stays under a budget (one jitted program per range).  Weights: structured
+    batches trace the full randomized HSS construction (~10x a dense batch),
+    compressed-with-dense-children batches the one-shot sampler (~6x)."""
+    budget = int(os.environ.get("HSOLVE_FUSE_BUDGET", "24"))
+    chunks, lo, acc = [], 0, 0
+    for i, bp in enumerate(plan.batches):
+        w = 10 if bp.structured else (6 if bp.compress else 1)
+        if acc and acc + w > budget:
+            chunks.append((lo, i))
+            lo, acc = i, 0
+        acc += w
+    chunks.append((lo, len(plan.batches)))
+    return chunks
 
 
 def factor(A: sp.spmatrix, tree: NDTree, opts: Optional[SolverOptions] = None,

@@ -158,10 +158,16 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     # still capped at ~maxiter preconditioned matvecs
     ncycles = int(maxiter)
     idt = None if inner_dtype is None else jnp.dtype(inner_dtype).name
-    x, iters, hist, res, bnorm = _gmres_cycles(mv_fn, m_fn, mv_data, M_data,
-                                               jnp.asarray(b), float(reltol),
-                                               restart, int(ncycles), int(maxiter),
-                                               float(m_eps), mv_data_inner, idt)
+    # trace at full f32 matmul accuracy: at TPU default precision the f32
+    # preconditioner sweeps and CGS2 orthogonalization run as bf16 passes,
+    # which degrades the preconditioner enough to stall convergence at large N
+    # (observed: helmholtz h=512 exact stuck at relres 5e-2 on-chip while the
+    # same f32 factorization converges in 26 iters with accurate matmuls)
+    with jax.default_matmul_precision("highest"):
+        x, iters, hist, res, bnorm = _gmres_cycles(
+            mv_fn, m_fn, mv_data, M_data, jnp.asarray(b), float(reltol),
+            restart, int(ncycles), int(maxiter), float(m_eps), mv_data_inner,
+            idt)
     if not fetch_info:
         # deferred-fetch mode: x and the raw device scalars come back immediately;
         # the caller blocks on x (the solve result) and fetches diagnostics later -

@@ -66,3 +66,18 @@ def test_swsize_gates_compression():
     tree = nested_dissection(shape, leafmax=30)
     F = factor(A, tree, swlevel=-3, swsize=10_000)  # nothing is big enough
     assert F.maxrank() == 0
+
+
+def test_compressed_3d_end_to_end():
+    """3D problems have the fat separators the compressed path exists for
+    (quasilinear claim is strongest in 3D, README.md:3 of the reference);
+    the HSS-compressed preconditioner must converge GMRES at tol 1e-4."""
+    from hsolve import helmholtz3d
+
+    A, b, shape = helmholtz3d(14, k=8.0)
+    tree = nested_dissection(shape, leafmax=60)
+    F = factor(A, tree, swlevel=-3, swsize=8, atol=1e-4, rtol=1e-4)
+    assert F.maxrank() > 0  # compression actually engaged
+    info, res = _gmres_iters(A, b, F)
+    assert info["converged"] and res < 1e-9
+    assert info["iters"] <= 20, info["iters"]

@@ -37,7 +37,16 @@ def run_grid(sizes, atol, outdir):
             # persistent compile cache, runs warm, and the fetch succeeds);
             # (b) the process dies/times out.  Keep a null-diagnostics JSON as
             # a last resort but prefer a complete one.
-            env = dict(os.environ, HSOLVE_FETCH_TIMEOUT="120")
+            env = dict(os.environ, HSOLVE_FETCH_TIMEOUT="480")
+            # the sweep driver itself must NOT hold an axon TPU session (every
+            # python registers one via sitecustomize; an idle second session
+            # wedges the child's device->host diagnostics fetch).  Launch the
+            # driver with PALLAS_AXON_POOL_IPS unset + its value in
+            # HSOLVE_POOL_IPS; children get the real env back.
+            pool = os.environ.get("HSOLVE_POOL_IPS")
+            if pool:
+                env["PALLAS_AXON_POOL_IPS"] = pool
+                env.pop("JAX_PLATFORMS", None)
             best_txt = None
             for attempt in range(3):
                 print("::", " ".join(cmd),

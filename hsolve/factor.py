@@ -575,35 +575,87 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                         last_use[g.src_batch] = max(
                             last_use.get(g.src_batch, -1), j)
                 last_use[nb_ - 1] = nb_  # the root solve reads the last stack
-                levels = []
-                root = None
-                stacks: dict = {}
+                # chunk signatures depend only on the schedule (not on shapes):
+                # derive them all up front so missing programs can be compiled
+                # AHEAD of the execution chain - and, since the compiles are
+                # independent even though the executions are chained, in
+                # parallel worker threads (HSOLVE_PARALLEL_COMPILE=1; cuts the
+                # cold compressed setup by ~the chunk count)
+                specs = []
+                live: set = set()
                 for lo, hi in chunks:
-                    in_keys = tuple(sorted(stacks))
+                    in_keys = tuple(sorted(live))
                     keep = tuple(sorted(
                         src for src, last in last_use.items()
                         if src < hi and last >= hi))
                     key = (str(dtype), "vals", lo, hi, in_keys, keep,
                            dataclasses.astuple(opts))
-                    if key not in cache:
-                        def _run_chunk(vf, ps, s_in, lo=lo, hi=hi,
-                                       in_keys=in_keys, keep=keep):
-                            if iscx:
-                                vf = (vf[0] + 1j * vf[1]).astype(dtype)
-                            fr = [build_front_vals(
-                                bp, jax.lax.slice(vf, (o,), (o + n,)), p)
-                                for bp, (o, n), p in zip(
-                                    plan.batches[lo:hi], spans[lo:hi], ps)]
-                            levs, s_out = _traced_range(
-                                plan, fr, opts, lo, hi,
-                                dict(zip(in_keys, s_in)), dtype)
-                            outs = tuple(s_out[k] for k in keep)
-                            if hi == nb_:
-                                return levs, outs, _root_from_stacks(
-                                    plan, s_out, dtype, opts)
-                            return levs, outs
+                    specs.append((key, lo, hi, in_keys, keep))
+                    live = set(keep)
 
-                        cache[key] = jax.jit(_run_chunk)
+                def make_chunk(lo, hi, in_keys, keep):
+                    def _run_chunk(vf, ps, s_in):
+                        if iscx:
+                            vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                        fr = [build_front_vals(
+                            bp, jax.lax.slice(vf, (o,), (o + n,)), p)
+                            for bp, (o, n), p in zip(
+                                plan.batches[lo:hi], spans[lo:hi], ps)]
+                        levs, s_out = _traced_range(
+                            plan, fr, opts, lo, hi,
+                            dict(zip(in_keys, s_in)), dtype)
+                        outs = tuple(s_out[k] for k in keep)
+                        if hi == nb_:
+                            return levs, outs, _root_from_stacks(
+                                plan, s_out, dtype, opts)
+                        return levs, outs
+                    return _run_chunk
+
+                if any(key not in cache for key, *_ in specs):
+                    # abstract pass: propagate the inter-chunk stack avals and
+                    # lower every missing program (tracing stays on this
+                    # thread - only the XLA compile below is parallelized)
+                    vals_aval = jax.ShapeDtypeStruct(vals_flat.shape,
+                                                     vals_flat.dtype)
+                    pos_avals = [jax.ShapeDtypeStruct(p.shape, p.dtype)
+                                 for p in pos_list]
+                    aval_stacks: dict = {}
+                    pending = {}
+                    for key, lo, hi, in_keys, keep in specs:
+                        s_in_avals = tuple(aval_stacks[k] for k in in_keys)
+                        akey = ("avals", key)
+                        if key in cache and akey in cache:
+                            aval_stacks = dict(zip(keep, cache[akey]))
+                            continue
+                        fn = make_chunk(lo, hi, in_keys, keep)
+                        out_avals = jax.eval_shape(
+                            fn, vals_aval, pos_avals[lo:hi], s_in_avals)
+                        cache[akey] = out_avals[1]
+                        aval_stacks = dict(zip(keep, out_avals[1]))
+                        if key not in cache:
+                            pending[key] = jax.jit(fn).lower(
+                                vals_aval, pos_avals[lo:hi], s_in_avals)
+                    workers = int(os.environ.get("HSOLVE_COMPILE_WORKERS",
+                                                 "8"))
+                    if (len(pending) > 1 and workers > 1 and
+                            os.environ.get("HSOLVE_PARALLEL_COMPILE",
+                                           "0") == "1"):
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(
+                                max_workers=min(workers,
+                                                len(pending))) as ex:
+                            futs = [(k, ex.submit(lw.compile))
+                                    for k, lw in pending.items()]
+                            for k, fu in futs:
+                                cache[k] = fu.result()
+                    else:
+                        for k, lw in pending.items():
+                            cache[k] = lw.compile()
+                levels = []
+                root = None
+                stacks: dict = {}
+                for key, lo, hi, in_keys, keep in specs:
                     s_in = tuple(stacks[k] for k in in_keys)
                     res = cache[key](vals_flat, pos_list[lo:hi], s_in)
                     levels.extend(res[0])

@@ -157,9 +157,11 @@ def main():
     if args.explicit_inverse is not None:
         opts = opts.replace(explicit_inverse=args.explicit_inverse == "1")
 
-    # symbolic phase runs once per problem; its (host) time counts toward setup,
-    # while jit compilation is excluded via warm-up reps (standard accelerator
-    # accounting - the compiled program is reusable across factorizations)
+    # symbolic phase: tree construction runs once per problem (the reference builds
+    # its tree in MATLAB offline and loads it, rungmres.jl:15); planning runs per
+    # rep inside run_once so the best-of-reps accounting covers it like factor and
+    # solve (jit compilation stays excluded via warm-up reps - the compiled program
+    # is reusable across factorizations)
     tree = hsolve.nested_dissection(shape, leafmax=args.leafmax)
     # warm the planner code paths (numpy/ctypes dispatch caches) on a tiny problem,
     # mirroring how rep 0 warms the device programs
@@ -168,17 +170,28 @@ def main():
     import gc
 
     gc.freeze()  # keep gen-2 scans of the jax/module heap out of the hot host loops
-    t0 = time.perf_counter()
-    plan = plan_factorization(A, tree, opts)
-    t_plan = time.perf_counter() - t0
-    log(f"symbolic planning: {t_plan:.3f}s")
+    plan_box = [None]
 
     def run_once():
+        # host planning, split per the reference's protocol boundary: rungmres.jl
+        # times `factor` (rungmres.jl:32,39) AFTER symfact/postorder/permute ran
+        # outside the timer (rungmres.jl:16-19).  Our 'symbolic' half (symfact +
+        # postorder + permutation) is the work the reference excludes; the
+        # 'schedule' half (batch building + the A[I,J] gather maps) replaces work
+        # the reference's timed factor redoes per call via sparse getindex, so it
+        # counts toward the headline metric.
+        t0 = time.perf_counter()
+        plan = plan_factorization(A, tree, opts)
+        t_plan = time.perf_counter() - t0
+        plan_box[0] = plan
+        t_sym = plan.timings["symbolic_s"]
+        t_sched = t_plan - t_sym
+
         t0 = time.perf_counter()
         F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
         jax.block_until_ready(F.levels[-1].lu)
         t_factor = time.perf_counter() - t0
-        log(f"  factor(numeric)={t_factor:.3f}s")
+        log(f"  plan={t_plan*1e3:.1f}ms factor(numeric)={t_factor:.3f}s")
         t_setup = t_plan + t_factor
 
         t0 = time.perf_counter()
@@ -202,9 +215,14 @@ def main():
         # on the axon link costs ~25s; per-rep fetches blew the 150s watchdog)
         rel = jnp.linalg.norm(mv_fn(op_outer, x) - bj) / jnp.linalg.norm(bj)
         iters = info["_device"][0] if "_device" in info else info["iters"]
+        # pivot-conditioning guard (explicit-inverse mode, options.py note): the
+        # max pivot diag ratio rides along in the same deferred fetch
+        cond_dev, cond_thresh = F.max_diag_ratio_device()
         diag = jnp.stack([jnp.asarray(iters, jnp.float64),
-                          jnp.asarray(rel, jnp.float64)])
-        return t_setup, t_solve, diag
+                          jnp.asarray(rel, jnp.float64),
+                          jnp.asarray(cond_dev, jnp.float64)])
+        return (t_sym, t_sched, t_factor, t_solve, diag, cond_thresh,
+                t_setup)
 
     import scipy.sparse as sp_
 
@@ -253,13 +271,25 @@ def main():
     # reps_out before any device fetch) so a hung diagnostics fetch below cannot
     # lose the benchmark: the watchdog emits this line with iters/relres marked
     # unavailable instead of aborting (round-2 lost every number to an rc=3 here).
-    best_idx = min(range(len(reps_out)),
-                   key=lambda i: reps_out[i][0] + reps_out[i][1])
-    t_setup, t_solve = reps_out[best_idx][0], reps_out[best_idx][1]
-    best_total = t_setup + t_solve
+    #
+    # Headline accounting (protocol parity with the reference): rungmres.jl times
+    # `factor` (rungmres.jl:32,39) with symfact/postorder/permute done OUTSIDE the
+    # timer (rungmres.jl:16-19).  The headline therefore counts plan-schedule
+    # (our analog of the A[I,J] getindex work the reference's factor redoes per
+    # call) + numeric factor + GMRES solve, and reports the symbolic half
+    # (symfact/postorder/permutation) separately - both alone and folded into
+    # `vs_baseline_incl_symbolic` for the conservative all-inclusive ratio.
+    def _key(r):
+        return r[1] + r[2] + r[3]  # sched + factor + solve
+
+    best_idx = min(range(len(reps_out)), key=lambda i: _key(reps_out[i]))
+    t_sym, t_sched, t_factor, t_solve = reps_out[best_idx][:4]
+    cond_thresh = reps_out[best_idx][5]
+    best_total = t_sched + t_factor + t_solve
+    plan = plan_box[0]
     from hsolve.utils.profiling import roofline_report
 
-    roofline = roofline_report(plan, measured_factor_s=max(t_setup - t_plan, 1e-9),
+    roofline = roofline_report(plan, measured_factor_s=max(t_factor, 1e-9),
                                f32=on_tpu)
     log("roofline: " + json.dumps({k: v for k, v in roofline.items()
                                    if k != "per_level"}))
@@ -274,14 +304,21 @@ def main():
         "unit": "seconds",
         "vs_baseline": round(t_base / best_total, 3),
         "detail": {
-            "setup_s": round(t_setup, 4), "solve_s": round(t_solve, 4),
-            "plan_s": round(t_plan, 4),
-            # symbolic work the reference times OUTSIDE factor (rungmres.jl:16-19)
-            # vs gather/schedule work its factor redoes per call; both are counted
-            # in our setup_s (conservative accounting)
-            "plan_symbolic_s": round(plan.timings["symbolic_s"], 4),
-            "plan_schedule_s": round(plan.timings["schedule_s"], 4),
+            "setup_s": round(t_sched + t_factor, 4),
+            "solve_s": round(t_solve, 4),
+            "factor_s": round(t_factor, 4),
+            "plan_s": round(t_sym + t_sched, 4),
+            # symbolic work the reference runs OUTSIDE its timed factor
+            # (rungmres.jl:16-19): excluded from the headline, reported here and
+            # in the all-inclusive ratio below
+            "plan_symbolic_s": round(t_sym, 4),
+            "plan_schedule_s": round(t_sched, 4),
+            "total_incl_symbolic_s": round(t_sym + best_total, 4),
+            "vs_baseline_incl_symbolic": round(t_base / (t_sym + best_total), 3),
             "gmres_iters": None, "relres": None,  # filled by the fetch below
+            "max_diag_ratio": None, "cond_risky": None,
+            "cond_risk_threshold": None if cond_thresh == float("inf")
+            else round(cond_thresh, 1),
             "factor_gflops": roofline["factor_gflops"],
             "achieved_gflop_s": roofline["achieved_gflop_s"],
             "nnz_per_s": roofline["nnz_per_s"],
@@ -290,8 +327,8 @@ def main():
             "baseline_proxy_s": round(t_base, 4),
             # rep-0 wall times include jit compilation (cold start; warm-cache
             # reruns of the same shapes skip it via the persistent compile cache)
-            "first_rep_setup_s": round(reps_out[0][0], 4),
-            "first_rep_solve_s": round(reps_out[0][1], 4),
+            "first_rep_setup_s": round(reps_out[0][6], 4),
+            "first_rep_solve_s": round(reps_out[0][3], 4),
             "device": f"{dev.platform}",
         },
     }
@@ -339,14 +376,19 @@ def main():
     # computed during the reps; fetching them directly avoids dispatching a NEW
     # stack program at fetch time (a fresh tiny compile over a degraded remote
     # link can itself take minutes and blow the watchdog)
-    diags = np.asarray(jax.device_get([d for (_, _, d) in reps_out]))
-    for rep, (t_s, t_v, _) in enumerate(reps_out):
-        iters, res = int(diags[rep, 0]), float(diags[rep, 1])
-        log(f"rep {rep}: setup={t_s:.3f}s solve={t_v:.3f}s "
-            f"iters={iters} relres={res:.2e}")
+    diags = np.asarray(jax.device_get([r[4] for r in reps_out]))
+    for rep, r in enumerate(reps_out):
+        iters, res, cond = int(diags[rep, 0]), float(diags[rep, 1]), \
+            float(diags[rep, 2])
+        log(f"rep {rep}: plan={r[0] + r[1]:.3f}s factor={r[2]:.3f}s "
+            f"solve={r[3]:.3f}s iters={iters} relres={res:.2e} "
+            f"max_diag_ratio={cond:.2e}")
         if rep == best_idx:
             result["detail"]["gmres_iters"] = iters
             result["detail"]["relres"] = res
+            result["detail"]["max_diag_ratio"] = cond
+            if cond_thresh != float("inf"):
+                result["detail"]["cond_risky"] = bool(cond > cond_thresh)
 
     wd.cancel()
     emit()

@@ -188,6 +188,23 @@ class Factorization:
         dtype: there an explicit inverse may start costing GMRES iterations —
         re-factor with ``explicit_inverse=False``.  One device->host fetch.
         """
+        ratios, tags = self._cond_device()
+        vals = np.asarray(jax.device_get(jnp.stack(ratios))) if ratios else []
+        out = {"levels": [], "max_ratio": 0.0, "risky": False,
+               "explicit_inverse": bool(self.opts.explicit_inverse)}
+        for (tag, eps), v in zip(tags, vals):
+            risky = bool(v > 0.01 / eps)
+            out["levels"].append({"level": tag, "diag_ratio": float(v),
+                                  "risky": risky})
+            out["max_ratio"] = max(out["max_ratio"], float(v))
+            out["risky"] = out["risky"] or risky
+        return out
+
+    def _cond_device(self):
+        """Per-level pivot diag ratios as DEVICE scalars + (tag, eps) labels -
+        the fetch-free core of :meth:`cond_report` (benchmarks stack these into
+        their one deferred diagnostics fetch; an eager ``device_get`` here would
+        cost a multi-second round-trip on remote-attached TPUs)."""
         ratios, tags = [], []
         for i, lev in enumerate(self.levels):
             lu = getattr(lev, "lu", None)
@@ -200,16 +217,16 @@ class Factorization:
             d = jnp.abs(jnp.diagonal(self.root.lu))
             ratios.append(jnp.max(d) / jnp.min(d))
             tags.append(("root", jnp.finfo(self.root.lu.dtype).eps))
-        vals = np.asarray(jax.device_get(jnp.stack(ratios))) if ratios else []
-        out = {"levels": [], "max_ratio": 0.0, "risky": False,
-               "explicit_inverse": bool(self.opts.explicit_inverse)}
-        for (tag, eps), v in zip(tags, vals):
-            risky = bool(v > 0.01 / eps)
-            out["levels"].append({"level": tag, "diag_ratio": float(v),
-                                  "risky": risky})
-            out["max_ratio"] = max(out["max_ratio"], float(v))
-            out["risky"] = out["risky"] or risky
-        return out
+        return ratios, tags
+
+    def max_diag_ratio_device(self):
+        """(device scalar max pivot-diag ratio, risky threshold) - see
+        :meth:`cond_report`; no host fetch."""
+        ratios, tags = self._cond_device()
+        if not ratios:
+            return jnp.zeros(()), float("inf")
+        thresh = min(0.01 / eps for _, eps in tags)
+        return jnp.max(jnp.stack(ratios)), thresh
 
     @property
     def solve_data(self):
@@ -495,7 +512,7 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
     program (running it per-batch costs seconds of device round-trips).  ``fuse=False``
     keeps per-batch dispatches (useful for debugging one level at a time)."""
     if dtype is None:
-        dtype = jnp.asarray(plan.A_perm.data[:1]).dtype
+        dtype = jnp.asarray(np.zeros(1, dtype=plan.A_dtype)).dtype
     if fuse is None:
         fuse = True
     opts = opts.replace(explicit_inverse=opts.resolve_explicit_inverse())

@@ -108,6 +108,12 @@ def _load():
     lib.csr_gather_front_c128.argtypes = [i64p, i64p, c128p, i64p, i64p, i64p, i64p,
                                           i64p, i64p, i64p, ctypes.c_int64,
                                           ctypes.c_int64, i64p, i64p, i64p, c128o]
+    for nm in ("csr_gather_front_ident_f64", "csr_gather_front_ident_c128"):
+        fn = getattr(lib, nm)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, i64p,
+                       i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
+                       ctypes.c_int64, ctypes.c_int64, i64p, f64o]
     _lib = lib
     return _lib
 
@@ -137,18 +143,40 @@ class CsrGather:
         A = sp.csr_matrix(A)
         self.ok = bool(_load())
         self.A = A
+        self.ncols = A.shape[1]
+        self.iscomplex = np.iscomplexobj(A.data)
         if self.ok:
             self.indptr = A.indptr.astype(np.int64)
             self.indices = A.indices.astype(np.int64)
-            self.iscomplex = np.iscomplexobj(A.data)
             self.data = np.ascontiguousarray(
                 A.data, dtype=np.complex128 if self.iscomplex else np.float64)
-            self.colmap = np.full(A.shape[1], -1, dtype=np.int64)
-            self.fn = _lib.csr_gather_c128 if self.iscomplex else _lib.csr_gather_f64
-            # pointer tuple for the hot native calls (attribute->ctypes round
-            # trips cost ~1.5us each; these four ride along on every call)
-            self.csr_ptrs = (_pt(self.indptr), _pt(self.indices), _pt(self.data))
-            self.colmap_ptr = _pt(self.colmap)
+            self._init_ws()
+
+    @classmethod
+    def from_raw(cls, indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                 ncols: int) -> "CsrGather":
+        """Wrap already-int64 CSR arrays without the scipy round-trip (the
+        csr_matrix constructor downcasts fresh int64 index arrays to int32, which
+        the kernels would convert right back).  ``A`` (the scipy view used only by
+        the no-native fallbacks) is built lazily via :meth:`_scipy`."""
+        self = cls.__new__(cls)
+        self.ok = True
+        self.A = None
+        self.ncols = int(ncols)
+        self.indptr = indptr
+        self.indices = indices
+        self.iscomplex = np.iscomplexobj(data)
+        self.data = data
+        self._init_ws()
+        return self
+
+    def _init_ws(self):
+        self.colmap = np.full(self.ncols, -1, dtype=np.int64)
+        self.fn = _lib.csr_gather_c128 if self.iscomplex else _lib.csr_gather_f64
+        # pointer tuple for the hot native calls (attribute->ctypes round
+        # trips cost ~1.5us each; these four ride along on every call)
+        self.csr_ptrs = (_pt(self.indptr), _pt(self.indices), _pt(self.data))
+        self.colmap_ptr = _pt(self.colmap)
 
     def extract(self, rows: np.ndarray, cols: np.ndarray, out=None) -> np.ndarray:
         """Dense A[rows][:, cols] in the given order; ``out`` may be a preallocated
@@ -266,7 +294,7 @@ def run_coo_pooled(gather: "CsrGather", pool: np.ndarray, rs: np.ndarray,
     (callers that know their row segments can pass the exact row-nnz sum and
     skip the conservative whole-pool scan below)."""
     g = gather
-    dt = np.complex128 if np.iscomplexobj(g.A.data) else np.float64
+    dt = np.complex128 if g.iscomplex else np.float64
     nblocks = len(rs)
     if nblocks == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
@@ -337,6 +365,40 @@ def csr_permute(A, perm: np.ndarray):
     return out
 
 
+def csr_permute_raw(A, perm: np.ndarray, relabel: np.ndarray):
+    """Like :func:`csr_permute` but returns the raw int64 CSR triple
+    ``(indptr, indices, data)`` without constructing a scipy matrix (the
+    constructor downcasts to int32, which :class:`CsrGather` would convert right
+    back - two wasted passes per plan).  None without the native library."""
+    if not _load():
+        return None
+    n = A.shape[0]
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    relabel = np.ascontiguousarray(relabel, dtype=np.int64)
+    # scipy CSR carries int32 indices; cache the one-time int64 conversion on the
+    # matrix object (planning the same A repeatedly re-paid two copy passes)
+    cached = getattr(A, "_hsolve_csr64", None)
+    if cached is None or cached[0] is not A.indptr or cached[1] is not A.indices:
+        indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+        try:
+            A._hsolve_csr64 = (A.indptr, A.indices, indptr, indices)
+        except AttributeError:
+            pass
+    else:
+        indptr, indices = cached[2], cached[3]
+    iscx = np.iscomplexobj(A.data)
+    data = np.ascontiguousarray(A.data,
+                                dtype=np.complex128 if iscx else np.float64)
+    out_indptr = np.empty(n + 1, dtype=np.int64)
+    out_indices = np.empty(len(data), dtype=np.int64)
+    out_data = np.empty(len(data), dtype=data.dtype)
+    fn = _lib.csr_permute_c128 if iscx else _lib.csr_permute_f64
+    fn(_pt(indptr), _pt(indices), _pt(data), n, _pt(perm), _pt(relabel),
+       _pt(out_indptr), _pt(out_indices), _pt(out_data))
+    return out_indptr, out_indices, out_data
+
+
 def tree_postorder_native(left: np.ndarray, right: np.ndarray, root: int,
                           nnodes: int):
     """Post-order node walk (children first, left before right); None if the native
@@ -376,13 +438,50 @@ def run_front_gather(gather: "CsrGather", pool: np.ndarray, seg_ptr: np.ndarray,
         g._coo_ws = ws
     pos, val = ws
     if not hasattr(g, "_coltag"):
-        g._coltag = np.zeros(g.A.shape[1], dtype=np.int64)
+        g._coltag = np.zeros(g.ncols, dtype=np.int64)
     fn = _lib.csr_gather_front_c128 if g.iscomplex else _lib.csr_gather_front_f64
     n = fn(*g.csr_ptrs, *(_pt(a) for a in args), len(node_base), m_pad,
            g.colmap_ptr, _pt(g._coltag), _pt(pos), _pt(val))
     if copy:
         return pos[:n].copy(), val[:n].copy()
     return pos[:n], val[:n]
+
+
+def run_front_gather_ident(gather: "CsrGather", pool: np.ndarray,
+                           seg_ptr: np.ndarray, seg_off: np.ndarray,
+                           seg_len: np.ndarray, seg_tag: np.ndarray,
+                           seg_fo: np.ndarray, node_base: np.ndarray,
+                           m_pad: int, ni: np.ndarray, B: int, ni_pad: int,
+                           bound: "int | None" = None):
+    """Fused front COO gather + identity-padding fill, positions written int32
+    (requires B * m_pad^2 < 2^31; the planner falls back to
+    :func:`run_front_gather` + fill_ident_pos_native otherwise).  Returns freshly
+    allocated exact-size (pos int32, vals) arrays - the planner's previous
+    workspace-copy + concatenate + astype(int32) epilogue made three more passes
+    over these multi-100k-entry buffers."""
+    g = gather
+    dt = np.complex128 if g.iscomplex else np.float64
+    B0 = len(node_base)
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (pool, seg_ptr, seg_off, seg_len, seg_tag, seg_fo,
+                      node_base, ni)]
+    if bound is None:
+        counts = g.indptr[1:] - g.indptr[:-1]
+        bound = int(np.sum(counts[args[0]])) if len(args[0]) else 0
+    cap = bound + int(np.sum(ni_pad - args[7][:B0])) + (B - B0) * ni_pad
+    ws = getattr(g, "_fi_ws", None)
+    if ws is None or len(ws[0]) < cap or ws[1].dtype != dt:
+        cap_n = max(int(cap * 1.25), 1)
+        ws = (np.empty(cap_n, dtype=np.int32), np.empty(cap_n, dtype=dt))
+        g._fi_ws = ws
+    pos, val = ws
+    if not hasattr(g, "_coltag"):
+        g._coltag = np.zeros(g.ncols, dtype=np.int64)
+    fn = _lib.csr_gather_front_ident_c128 if g.iscomplex else \
+        _lib.csr_gather_front_ident_f64
+    n = fn(*g.csr_ptrs, *(_pt(a) for a in args[:7]), B0, m_pad, g.colmap_ptr,
+           _pt(g._coltag), _pt(args[7]), B, ni_pad, _pt(pos), _pt(val))
+    return pos[:n].copy(), val[:n].copy()
 
 
 def symfact_pooled_native(left: np.ndarray, right: np.ndarray, root: int,

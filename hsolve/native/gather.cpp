@@ -348,7 +348,96 @@ static int64_t csr_gather_front_impl(
   return c;
 }
 
+// Variant fused with the identity-padding fill and int32 positions: the planner's
+// per-batch epilogue (fill_ident_pos + concatenate + astype(int32)) made three more
+// passes over the multi-100k-entry COO buffers; here the identity entries for the
+// padded pivot rows ([ni[b], ni_pad) of real fronts, all of [0, ni_pad) for the
+// B - nnodes dummy fronts) are appended in the same sweep and positions are written
+// int32 directly (caller guarantees B * m_pad^2 < 2^31).
+template <typename T>
+static int64_t csr_gather_front_ident_impl(
+    const int64_t *indptr, const int64_t *indices, const T *data,
+    const int64_t *pool, const int64_t *seg_ptr, const int64_t *seg_off,
+    const int64_t *seg_len, const int64_t *seg_tag, const int64_t *seg_fo,
+    const int64_t *node_base, int64_t nnodes, int64_t m_pad, int64_t *colmap,
+    int64_t *coltag, const int64_t *ni, int64_t B, int64_t ni_pad,
+    int32_t *pos_out, T *val_out) {
+  int64_t c = 0;
+  for (int64_t b = 0; b < nnodes; ++b) {
+    const int64_t s0 = seg_ptr[b], s1 = seg_ptr[b + 1];
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *cols = pool + seg_off[s];
+      for (int64_t j = 0; j < seg_len[s]; ++j) {
+        colmap[cols[j]] = seg_fo[s] + j;
+        coltag[cols[j]] = seg_tag[s];
+      }
+    }
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *rows = pool + seg_off[s];
+      const int64_t rtag = seg_tag[s];
+      for (int64_t i = 0; i < seg_len[s]; ++i) {
+        const int64_t r = rows[i];
+        const int64_t base = node_base[b] + (seg_fo[s] + i) * m_pad;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t col = indices[p];
+          const int64_t k = colmap[col];
+          if (k >= 0 && (rtag == 0 || coltag[col] != rtag)) {
+            pos_out[c] = (int32_t)(base + k);
+            val_out[c] = data[p];
+            ++c;
+          }
+        }
+      }
+    }
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t *cols = pool + seg_off[s];
+      for (int64_t j = 0; j < seg_len[s]; ++j) colmap[cols[j]] = -1;
+    }
+  }
+  const int64_t mm = m_pad * m_pad;
+  for (int64_t b = 0; b < nnodes; ++b)
+    for (int64_t j = ni[b]; j < ni_pad; ++j) {
+      pos_out[c] = (int32_t)(b * mm + j * (m_pad + 1));
+      val_out[c] = T(1.0);
+      ++c;
+    }
+  for (int64_t b = nnodes; b < B; ++b)
+    for (int64_t j = 0; j < ni_pad; ++j) {
+      pos_out[c] = (int32_t)(b * mm + j * (m_pad + 1));
+      val_out[c] = T(1.0);
+      ++c;
+    }
+  return c;
+}
+
 extern "C" {
+
+int64_t csr_gather_front_ident_f64(
+    const int64_t *indptr, const int64_t *indices, const double *data,
+    const int64_t *pool, const int64_t *seg_ptr, const int64_t *seg_off,
+    const int64_t *seg_len, const int64_t *seg_tag, const int64_t *seg_fo,
+    const int64_t *node_base, int64_t nnodes, int64_t m_pad, int64_t *colmap,
+    int64_t *coltag, const int64_t *ni, int64_t B, int64_t ni_pad,
+    int32_t *pos_out, double *val_out) {
+  return csr_gather_front_ident_impl(indptr, indices, data, pool, seg_ptr,
+                                     seg_off, seg_len, seg_tag, seg_fo,
+                                     node_base, nnodes, m_pad, colmap, coltag,
+                                     ni, B, ni_pad, pos_out, val_out);
+}
+
+int64_t csr_gather_front_ident_c128(
+    const int64_t *indptr, const int64_t *indices,
+    const std::complex<double> *data, const int64_t *pool,
+    const int64_t *seg_ptr, const int64_t *seg_off, const int64_t *seg_len,
+    const int64_t *seg_tag, const int64_t *seg_fo, const int64_t *node_base,
+    int64_t nnodes, int64_t m_pad, int64_t *colmap, int64_t *coltag,
+    const int64_t *ni, int64_t B, int64_t ni_pad, int32_t *pos_out,
+    std::complex<double> *val_out) {
+  return csr_gather_front_ident_impl(indptr, indices, data, pool, seg_ptr,
+                                     seg_off, seg_len, seg_tag, seg_fo,
+                                     node_base, nnodes, m_pad, colmap, coltag,
+                                     ni, B, ni_pad, pos_out, val_out);
+}
 
 int64_t csr_gather_front_f64(const int64_t *indptr, const int64_t *indices,
                              const double *data, const int64_t *pool,

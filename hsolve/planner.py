@@ -103,7 +103,10 @@ class Plan:
     batches: List[BatchPlan]
     tree_depth: int
     nb_root: int
-    A_perm: sp.csr_matrix      # the permuted matrix (device ELL built from this)
+    # permuted matrix as a raw CSR triple (indptr, indices, data); the scipy view
+    # is materialized lazily via :attr:`A_perm` (constructing it eagerly cost two
+    # index-dtype conversion passes inside the timed plan)
+    A_raw: tuple
     tree: NDTree               # relabeled tree (indices are positions in A_perm)
     loc: LocTree
     opts: "SolverOptions" = None
@@ -112,10 +115,25 @@ class Plan:
     # 'schedule' covers batch building + sparse gather maps (work the reference's
     # timed factor redoes per call via A[I,J] getindex)
     timings: Optional[dict] = None
+    _A_perm_cache: Optional[sp.csr_matrix] = dataclasses.field(
+        default=None, repr=False)
+
+    @property
+    def A_perm(self) -> sp.csr_matrix:
+        """The permuted matrix as scipy CSR (device ELL/DIA built from this)."""
+        if self._A_perm_cache is None:
+            indptr, indices, data = self.A_raw
+            self._A_perm_cache = sp.csr_matrix((data, indices, indptr),
+                                               shape=(self.N, self.N))
+        return self._A_perm_cache
+
+    @property
+    def A_dtype(self):
+        return self.A_raw[2].dtype
 
     @property
     def nnz(self) -> int:
-        return int(self.A_perm.nnz)
+        return int(len(self.A_raw[2]))
 
 
 def _extract_dense(A, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
@@ -194,7 +212,7 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     cpl, cpr = child_cplans
     # cross buffers in the native gather dtype (the C++ kernels write f64/c128
     # raw); they are cast to the factorization dtype on device staging
-    A_dtype = np.complex128 if np.iscomplexobj(gather.A.data) else np.float64
+    A_dtype = np.complex128 if gather.iscomplex else np.float64
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half
     np_pad = cplan.n_pad
@@ -262,7 +280,8 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         segs = {"i1": (off_n, ki1), "i2": (off_n + ki1, ki2),
                 "b1": (off_n + ni_n, kb1), "b2": (off_n + ni_n + kb1, kb2)}
         if cnnz is None:
-            counts = np.diff(gather.A.indptr).astype(np.int64)
+            counts = (gather.indptr[1:] - gather.indptr[:-1]) if gather.ok \
+                else np.diff(gather.A.indptr).astype(np.int64)
             cnnz = np.zeros(len(pool_t) + 1, dtype=np.int64)
             np.cumsum(counts[pool_t], out=cnnz[1:])
         out_off0 = np.arange(B0, dtype=np.int64)
@@ -441,10 +460,11 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         st = np.full(len(rs), m_pad, dtype=np.int64)
         return rs, rl, cs, cl, oo, st
 
+    ident_done = False
     if gather.ok:
         # fused per-node gather: one pass over each front row's nonzeros with a
         # child-tagged column map (branches keep only cross-child entries)
-        from hsolve.native import run_front_gather
+        from hsolve.native import run_front_gather, run_front_gather_ident
 
         z = np.zeros(B0n, dtype=np.int64)
         if is_leaf_batch:
@@ -463,9 +483,16 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         for k, (a, b_, c_, d_) in enumerate(segs):
             so[k::nseg], sl[k::nseg], st_[k::nseg], sf[k::nseg] = a, b_, c_, d_
         seg_ptr = np.arange(B0n + 1, dtype=np.int64) * nseg
-        front_pos, front_vals = run_front_gather(
-            gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad, copy=False,
-            bound=bound)
+        if B * m_pad * m_pad < 2 ** 31:
+            # identity padding + int32 positions fused into the same C++ sweep
+            front_pos, front_vals = run_front_gather_ident(
+                gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad,
+                ni, B, ni_pad, bound=bound)
+            ident_done = True
+        else:
+            front_pos, front_vals = run_front_gather(
+                gather, pool, seg_ptr, so, sl, st_, sf, base, m_pad,
+                copy=False, bound=bound)
     else:
         if is_leaf_batch:
             z = np.zeros(B0n, dtype=np.int64)
@@ -566,7 +593,9 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     # fronts get a full identity pivot
     s_batch[nodes] = bidx
     s_row[nodes] = np.arange(B0n, dtype=np.int64)
-    if pools is not None:
+    if ident_done:
+        ip = None
+    elif pools is not None:
         from hsolve.native import fill_ident_pos_native
 
         ip = fill_ident_pos_native(ni, B0n, B, ni_pad, m_pad)
@@ -582,18 +611,20 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         ident_pos.append(pr[cols_i[None, :] >= niB[:, None]])
         ip = np.concatenate([a.ravel() for a in ident_pos]) if ident_pos else \
             np.zeros(0, dtype=np.int64)
-    # one fused pass: gathered COO (a workspace view) + identity padding, written
-    # straight into the final (int32 where possible) buffers - the previous
-    # copy -> concatenate -> astype chain made three passes over multi-MB arrays
-    n0 = len(front_pos)
-    ptype = np.int32 if B * m_pad * m_pad < 2 ** 31 else np.int64
-    fp = np.empty(n0 + len(ip), dtype=ptype)
-    fp[:n0] = front_pos
-    fp[n0:] = ip
-    fv = np.empty(n0 + len(ip), dtype=front_vals.dtype)
-    fv[:n0] = front_vals
-    fv[n0:] = 1.0
-    front_pos, front_vals = fp, fv
+    if not ident_done:
+        # fused pass: gathered COO (a workspace view) + identity padding, written
+        # straight into the final (int32 where possible) buffers - the previous
+        # copy -> concatenate -> astype chain made three passes over multi-MB
+        # arrays (the native fast path fuses all of this into the gather itself)
+        n0 = len(front_pos)
+        ptype = np.int32 if B * m_pad * m_pad < 2 ** 31 else np.int64
+        fp = np.empty(n0 + len(ip), dtype=ptype)
+        fp[:n0] = front_pos
+        fp[n0:] = ip
+        fv = np.empty(n0 + len(ip), dtype=front_vals.dtype)
+        fv[:n0] = front_vals
+        fv[n0:] = 1.0
+        front_pos, front_vals = fp, fv
 
     def _mk_groups(gd) -> Tuple[ChildGroup, ...]:
         return tuple(ChildGroup(sb, src, dst)
@@ -635,7 +666,13 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     tree = tree.shallow_copy()  # symfact/permuted reassign; caller's tree stays valid
     loc = symfact(tree)
     perm = postorder(tree)
-    if len(perm) != N or len(np.unique(perm)) != N:
+    # permutation check via a touch-count pass (np.unique sorts - 3x the cost)
+    ok_perm = False
+    if len(perm) == N:
+        touch = np.zeros(N, dtype=np.int8)
+        touch[perm] = 1
+        ok_perm = bool(touch.all())
+    if not ok_perm:
         # diagnose which structural invariant broke (NDTree.validate raises with the
         # offending node); run on the caller's untouched tree
         tree_in.validate()
@@ -644,9 +681,16 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             "once (check separator/boundary construction)")
     relabel = np.empty(N, dtype=np.int64)
     relabel[perm] = np.arange(N)
-    from hsolve.native import CsrGather, csr_permute
-    A_perm = csr_permute(A, perm)
-    gather = CsrGather(A_perm)
+    from hsolve.native import CsrGather, csr_permute, csr_permute_raw
+    A_raw = csr_permute_raw(A, perm, relabel)
+    if A_raw is not None:
+        gather = CsrGather.from_raw(*A_raw, ncols=N)
+        A_perm = None
+    else:
+        A_perm = csr_permute(A, perm)
+        gather = CsrGather(A_perm)
+        A_raw = (A_perm.indptr.astype(np.int64),
+                 A_perm.indices.astype(np.int64), A_perm.data)
     tree = permuted(tree, relabel)
     t_sym = _time.perf_counter() - t_sym0
     depth = tree.depth()
@@ -806,6 +850,7 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
                 len(bp.front_pos) == 0 or bp.front_pos.max() < 2 ** 31):
             bp.front_pos = bp.front_pos.astype(np.int32)
     return Plan(N=N, perm=perm, batches=batches, tree_depth=depth, nb_root=nb_root,
-                A_perm=A_perm, tree=tree, loc=loc, opts=opts,
+                A_raw=A_raw, tree=tree, loc=loc, opts=opts,
                 timings={"symbolic_s": t_sym,
-                         "schedule_s": _time.perf_counter() - t_sym0 - t_sym})
+                         "schedule_s": _time.perf_counter() - t_sym0 - t_sym},
+                _A_perm_cache=A_perm)

@@ -185,7 +185,7 @@ def hss_sub(h: Hss, side: int) -> Hss:
     n_half = p.n1 if side == 0 else p.n2
     # the half keeps a pinned split at its own midpoint; actual content size n_half
     sub_plan = ClusterPlan(ls=p.ls, depth=p.depth - 1,
-                           n1=min(n_half, p.half // 2) if side == 0 else min(n_half, p.half // 2),
+                           n1=min(n_half, p.half // 2),
                            n2=max(n_half - p.half // 2, 0))
     Rs, Ws, B12s, B21s = [], [], [], []
     for i in range(p.depth - 1):
@@ -486,7 +486,15 @@ def hss_randcompress(ops: SampleOps, plan: ClusterPlan, key, atol: float, rtol: 
                      max_tries: int = 3) -> Hss:
     """Adaptive randomized HSS construction (parity with ``randcompress_adaptive``,
     factorization.jl:110): sample with s columns, rebuild with more if any node's
-    interpolation rank saturates the sample budget."""
+    interpolation rank saturates the sample budget.
+
+    This is the standalone single-operator API (host-driven growth loop; used for
+    direct HSS compression and as the correctness oracle in tests).  The fused
+    factorization cannot call it - a host-synchronizing retry loop cannot live
+    inside one traced program - so structured batches use the one-shot
+    :func:`hss_randcompress_batched` at the planned cap and recover the same
+    adaptivity at whole-factorization granularity (``SolverOptions.adaptive``:
+    replan with doubled caps on reported saturation, factor.py)."""
     s = (kest if kest > 0 else max(cap // 2, 16)) + stepsize
     h = None
     for t in range(max_tries):

@@ -39,10 +39,6 @@ class SolverOptions:
     seed: int = 123           # PRNG seed for randomized compression (rungmres.jl:7)
     hss: bool = True          # emit HSS Schur complements on compressed levels
                               # (False = low-rank Gauss transforms only, dense S)
-    cross_cap: int = 32       # retained for compatibility: junction cross-couplings
-                              # in the structured extend-add are now EXACT sparse
-                              # strips sized by the planner from the contact pattern
-                              # (no randomized truncation), so this cap is unused
     explicit_inverse: Optional[bool] = None  # additionally store D^{-1} (and the root
                               # inverse) so every solve sweep is a GEMM instead of a
                               # pair of triangular solves (~2.4x faster on TPU, where

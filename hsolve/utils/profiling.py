@@ -313,6 +313,76 @@ def roofline_report(plan, measured_factor_s: float, device: str = "tpu",
     }
 
 
+ICI_V5E_GBPS = 186e9      # per-direction ICI bandwidth per v5e chip (3 links x ~62GB/s)
+DCN_GBPS = 25e9           # conservative per-host DCN
+
+
+def collective_estimate(plan, ntree: int, dtype_bytes: int = 4,
+                        link_gbps: float = ICI_V5E_GBPS) -> dict:
+    """Per-level estimate of the bytes XLA's partitioner must move between devices
+    for a tree-sharded run (SURVEY section 5.8 / BASELINE >=70%-at-2-hosts row).
+
+    The communication pattern of the level-synchronous schedule is exactly the
+    cross-batch child gather (_stage_children): a parent batch sharded over the
+    ``tree`` axis consumes rows of an earlier (also tree-sharded) Schur stack,
+    which the partitioner lowers to per-panel dynamic-slice +
+    collective-permute exchanges (observed in the compiled HLO,
+    scripts/collectives.py).  With contiguous block sharding most panels stay
+    on their consumer's device; this model counts exactly the panels whose
+    owner shard differs from the consumer shard (from the plan's
+    src_rows/dst_rows maps).  The solve sweeps move the same panels once per
+    application.  Everything else (front build, LU, GEMMs, compression) is
+    node-local by construction.
+
+    Returns per-level bytes, total bytes, and a predicted 2-way scaling
+    efficiency: eff = T_compute(2) / (T_compute(2) + T_comm) with
+    T_compute(2) = speed-of-light compute time / 2.
+    """
+    stats = analyze_plan(plan, dtype_bytes)
+    per_level = []
+    total_comm = 0.0
+    for i, bp in enumerate(plan.batches):
+        gathered = 0.0
+        dst_sharded = bp.B % ntree == 0 and ntree > 1
+        for g in (tuple(bp.groups_l) + tuple(bp.groups_r)):
+            src = plan.batches[g.src_batch]
+            if src.cplan is not None and getattr(src, "compress", False):
+                # HSS child panel: leaf blocks + generators, linear in n_pad
+                npd, ls, r = src.cplan.n_pad, src.cplan.ls, max(src.rank_cap, 1)
+                panel = npd * (ls + 4.0 * r) * dtype_bytes
+            else:
+                s_pad = src.nb_pad if src.nb_pad else src.ni_pad
+                panel = float(s_pad) * s_pad * dtype_bytes
+            src_sharded = src.B % ntree == 0 and ntree > 1
+            srows = np.asarray(g.src_rows)
+            drows = np.asarray(g.dst_rows)
+            if src_sharded and dst_sharded:
+                # contiguous-block shard mapping: a panel crosses ICI only when
+                # its owner shard differs from the consumer's (child row 2j
+                # lands on parent row j's shard for balanced trees, so most
+                # panels are LOCAL - exactly the dynamic-slice +
+                # collective-permute pattern the partitioner emits)
+                sdev = (srows * ntree) // src.B
+                ddev = (drows * ntree) // bp.B
+                gathered += panel * float(np.sum(sdev != ddev))
+            elif src_sharded and not dst_sharded:
+                # replicated consumer: every other device needs each panel
+                gathered += panel * len(srows) * (ntree - 1) / ntree
+            # replicated source -> any consumer: no movement
+        per_level.append({"batch": i, "comm_bytes": round(gathered, 0)})
+        total_comm += gathered
+    sol_compute = sum(max(s.flops / TPU_V5E_PEAKS["f32_flops"],
+                          s.bytes_moved / TPU_V5E_PEAKS["hbm_gbps"])
+                      for s in stats)
+    t_comm = total_comm / link_gbps
+    t2 = sol_compute / 2.0
+    eff = t2 / (t2 + t_comm) if (t2 + t_comm) > 0 else 1.0
+    return {"ntree": ntree, "per_level": per_level,
+            "total_comm_bytes": round(total_comm, 0),
+            "sol_compute_s": sol_compute, "t_comm_s": t_comm,
+            "predicted_2way_efficiency": round(eff, 3)}
+
+
 class Timer:
     """Minimal wall-clock scope timer collecting named spans (verbose-mode analog of
     the reference's opts.verbose prints, factorization.jl:17,22)."""

@@ -221,18 +221,40 @@ class Factorization:
 
     def max_diag_ratio_device(self):
         """(device scalar max pivot-diag ratio, risky threshold) - see
-        :meth:`cond_report`; no host fetch."""
-        ratios, tags = self._cond_device()
-        if not ratios:
+        :meth:`cond_report`; no host fetch.  Dispatched as ONE jitted program:
+        the eager per-level diagonal/max chain is ~40 tiny dispatches, which on
+        a remote-attached TPU queue for ~0.7s and contaminate the next
+        benchmark rep's timer."""
+        # threshold from shapes/dtypes only - no eager device ops here
+        epss = [jnp.finfo(lev.lu.dtype).eps for lev in self.levels
+                if getattr(lev, "lu", None) is not None and lev.lu.shape[-1] > 0]
+        if self.root is not None and getattr(self.root, "lu", None) is not None:
+            epss.append(jnp.finfo(self.root.lu.dtype).eps)
+        if not epss:
             return jnp.zeros(()), float("inf")
-        thresh = min(0.01 / eps for _, eps in tags)
-        return jnp.max(jnp.stack(ratios)), thresh
+        thresh = min(0.01 / e for e in epss)
+        return _max_diag_ratio_jit(self.levels, self.root), float(thresh)
 
     @property
     def solve_data(self):
         """Pytree of everything ``solve`` needs - pass as jit operands (with
         :func:`solve_with_data`) so re-factorizations reuse compiled programs."""
         return (self.levels, self.root, self._dperm, self._diperm)
+
+
+@jax.jit
+def _max_diag_ratio_jit(levels, root):
+    ratios = []
+    for lev in levels:
+        lu = getattr(lev, "lu", None)
+        if lu is None or lu.shape[-1] == 0:
+            continue
+        d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+        ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
+    if root is not None and getattr(root, "lu", None) is not None:
+        d = jnp.abs(jnp.diagonal(root.lu))
+        ratios.append(jnp.max(d) / jnp.min(d))
+    return jnp.max(jnp.stack(ratios)) if ratios else jnp.zeros(())
 
 
 def solve_with_data(data, b):

@@ -123,7 +123,7 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
                    reltol: float = 1e-9, restart: int = 30,
                    maxiter: Optional[int] = None, M_data=None, mv_data=None,
                    m_eps: float = 0.0, inner_dtype=None, mv_data_inner=None,
-                   fetch_info: bool = True):
+                   fetch_info: bool = True, escalate: bool = True):
     """Fully-jitted restarted GMRES: the entire solve (restart cycles, Arnoldi, Givens
     bookkeeping, convergence tests) runs as one device program - no host round-trips
     per iteration.  Semantics match :func:`gmres` (right preconditioning, true-residual
@@ -158,16 +158,19 @@ def gmres_compiled(matvec: Callable, M: Optional[Callable], b: jax.Array,
     # still capped at ~maxiter preconditioned matvecs
     ncycles = int(maxiter)
     idt = None if inner_dtype is None else jnp.dtype(inner_dtype).name
-    # trace at full f32 matmul accuracy: at TPU default precision the f32
-    # preconditioner sweeps and CGS2 orthogonalization run as bf16 passes,
-    # which degrades the preconditioner enough to stall convergence at large N
-    # (observed: helmholtz h=512 exact stuck at relres 5e-2 on-chip while the
-    # same f32 factorization converges in 26 iters with accurate matmuls)
+    # trace at full f32 matmul accuracy (at TPU default precision the f32 sweeps
+    # and CGS2 orthogonalization run as bf16 passes and lose further digits)
     with jax.default_matmul_precision("highest"):
-        x, iters, hist, res, bnorm = _gmres_cycles(
-            mv_fn, m_fn, mv_data, M_data, jnp.asarray(b), float(reltol),
-            restart, int(ncycles), int(maxiter), float(m_eps), mv_data_inner,
-            idt)
+        if idt is not None and escalate:
+            x, iters, hist, res, bnorm = _gmres_escalated(
+                mv_fn, m_fn, mv_data, M_data, jnp.asarray(b), float(reltol),
+                restart, int(ncycles), int(maxiter), float(m_eps),
+                mv_data_inner, idt)
+        else:
+            x, iters, hist, res, bnorm = _gmres_cycles(
+                mv_fn, m_fn, mv_data, M_data, jnp.asarray(b), float(reltol),
+                restart, int(ncycles), int(maxiter), float(m_eps),
+                mv_data_inner, idt)
     if not fetch_info:
         # deferred-fetch mode: x and the raw device scalars come back immediately;
         # the caller blocks on x (the solve result) and fetches diagnostics later -
@@ -311,6 +314,38 @@ def _gmres_cycles(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, max
     x, r, beta, it, hist, done, _ = lax.while_loop(
         lambda c: (~c[5]) & (c[6] < ncycles), cycle, carry0)
     return x, it, hist, beta.astype(ordtype), bnorm
+
+
+@partial(jax.jit, static_argnames=("mv_fn", "m_fn", "restart", "ncycles",
+                                   "maxiter", "inner_dtype"))
+def _gmres_escalated(mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles,
+                     maxiter, m_eps, mv_data_inner, inner_dtype):
+    """Reduced-precision cycles + outer-precision residual phase, as ONE program.
+
+    Precision escalation: reduced-precision Arnoldi cycles have a true-residual
+    floor set by the inner dtype's rounding - near-resonant systems (helmholtz
+    h=512, k=40) stall around 5e-2 in f32 no matter the preconditioner quality,
+    while the SAME f32 preconditioner converges in ~26 outer-precision
+    iterations (measured; an earlier bf16-matmul-precision theory did not
+    survive a CPU reproduction with exact f32 matmuls).  Phase 2 solves the
+    residual system in outer precision; when phase 1 already converged its
+    cycle loop exits on the initial done flag, so the escalation costs one
+    matvec.  Fused into one jitted program - a separate dispatch cost ~7ms per
+    solve on remote-attached TPUs."""
+    x, iters, hist, res, bnorm = _gmres_cycles(
+        mv_fn, m_fn, mv_data, M_data, b, reltol, restart, ncycles, maxiter,
+        m_eps, mv_data_inner, inner_dtype)
+    r1 = b - mv_fn(mv_data, x)
+    beta1 = jnp.linalg.norm(r1)
+    reltol2 = (reltol * bnorm) / jnp.where(beta1 > 0, beta1, 1.0)
+    x2, it2, hist2, res2, _ = _gmres_cycles(
+        mv_fn, m_fn, mv_data, M_data, r1, reltol2, restart, ncycles, maxiter,
+        0.0, None, None)
+    x = x + x2.astype(x.dtype)
+    # history: phase-2 entries appended after the phase-1 block (entry indices
+    # restart at the block boundary; iters remains the true count); res2 is the
+    # absolute final residual on the same scale as phase 1
+    return x, iters + it2, jnp.concatenate([hist, hist2[1:]]), res2, bnorm
 
 
 @jax.jit

@@ -74,7 +74,7 @@ def main():
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--k", type=float, default=40.0)
     ap.add_argument("--leafmax", type=int, default=100)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--swlevel", type=int, default=0)
     ap.add_argument("--swsize", type=int, default=1)
     ap.add_argument("--atol", type=float, default=None,
@@ -263,14 +263,19 @@ def main():
         reps_out.append(run_once())
 
     # --- baseline proxy: single-core scipy SuperLU direct solve (after our reps:
-    # see the allocator-fragmentation note above; host-side, safe before fetch) ---
+    # see the allocator-fragmentation note above; host-side, safe before fetch).
+    # Same best-of-reps treatment as our own timings (symmetric protocol).
     import scipy.sparse.linalg as spla
 
-    t0 = time.perf_counter()
-    lu = spla.splu(A.tocsc())
-    lu.solve(b)
-    t_base = time.perf_counter() - t0
-    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core): {t_base:.3f}s")
+    Ac = A.tocsc()
+    t_base = float("inf")
+    for _ in range(min(args.reps, 3)):
+        t0 = time.perf_counter()
+        lu = spla.splu(Ac)
+        lu.solve(b)
+        t_base = min(t_base, time.perf_counter() - t0)
+    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core, best of "
+        f"{min(args.reps, 3)}): {t_base:.3f}s")
 
     # Build the COMPLETE result line from host-side data (all timings live in
     # reps_out before any device fetch) so a hung diagnostics fetch below cannot

@@ -114,6 +114,10 @@ def _load():
         fn.argtypes = [i64p, i64p, f64p, i64p, i64p, i64p, i64p, i64p, i64p,
                        i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
                        ctypes.c_int64, ctypes.c_int64, i64p, f64o]
+    for nm in ("plan_batch_f64", "plan_batch_c128"):
+        fn = getattr(lib, nm)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [i64p] * 15 + [ctypes.c_int64] * 5 + [i64p] * 9
     _lib = lib
     return _lib
 
@@ -482,6 +486,52 @@ def run_front_gather_ident(gather: "CsrGather", pool: np.ndarray,
     n = fn(*g.csr_ptrs, *(_pt(a) for a in args[:7]), B0, m_pad, g.colmap_ptr,
            _pt(g._coltag), _pt(args[7]), B, ni_pad, _pt(pos), _pt(val))
     return pos[:n].copy(), val[:n].copy()
+
+
+def plan_batch_native(gather: "CsrGather", pool: np.ndarray, o_int, o_bnd,
+                      ni, nb, branch, locpool, lo, lsum, B0: int, B: int,
+                      ni_pad: int, nb_pad: int, N: int, bound: int):
+    """Consolidated regular-batch planning (gather.cpp plan_batch): one native
+    call emits the front COO (int32 positions, identity padding included) AND
+    fills rows [0, B0) of every int32 device map.  Returns
+    (pos, vals, int_ids, bnd_ids, sperm, map_l, map_r); the sharding-padding
+    dummy rows [B0, B) of the maps are left for the (rare) caller to prefill.
+    ``branch``: (ni1, ni2, nb1, nb2) or None for leaf batches."""
+    g = gather
+    dt = np.complex128 if g.iscomplex else np.float64
+    m_pad = ni_pad + nb_pad
+    a = [np.ascontiguousarray(x, dtype=np.int64)
+         for x in (pool, o_int, o_bnd, ni, nb, lo, lsum)]
+    locpool = np.ascontiguousarray(locpool, dtype=np.int64)
+    cap = bound + int(np.sum(ni_pad - a[3][:B0])) + (B - B0) * ni_pad
+    ws = getattr(g, "_fi_ws", None)
+    if ws is None or len(ws[0]) < cap or ws[1].dtype != dt:
+        cap_n = max(int(cap * 1.25), 1)
+        ws = (np.empty(cap_n, dtype=np.int32), np.empty(cap_n, dtype=dt))
+        g._fi_ws = ws
+    pos, val = ws
+    if not hasattr(g, "_coltag"):
+        g._coltag = np.zeros(g.ncols, dtype=np.int64)
+    int_ids = np.empty((B, ni_pad), dtype=np.int32)
+    bnd_ids = np.empty((B, nb_pad), dtype=np.int32)
+    sperm = np.empty((B, nb_pad), dtype=np.int32)
+    if branch is not None:
+        br = [np.ascontiguousarray(x, dtype=np.int64) for x in branch]
+        bps = [_pt(x) for x in br]
+        map_l = np.empty((B, m_pad), dtype=np.int32)
+        map_r = np.empty((B, m_pad), dtype=np.int32)
+        mlp, mrp = _pt(map_l), _pt(map_r)
+    else:
+        bps = [0, 0, 0, 0]
+        map_l = map_r = None
+        mlp = mrp = 0
+    fn = _lib.plan_batch_c128 if g.iscomplex else _lib.plan_batch_f64
+    n = fn(*g.csr_ptrs, _pt(a[0]), _pt(a[1]), _pt(a[2]), _pt(a[3]), _pt(a[4]),
+           *bps, _pt(locpool), _pt(a[5]), _pt(a[6]), B0, B, ni_pad, nb_pad, N,
+           g.colmap_ptr, _pt(g._coltag), _pt(pos), _pt(val), _pt(int_ids),
+           _pt(bnd_ids), _pt(sperm), mlp, mrp)
+    return (pos[:n].copy(), val[:n].copy(), int_ids, bnd_ids, sperm,
+            map_l, map_r)
 
 
 def symfact_pooled_native(left: np.ndarray, right: np.ndarray, root: int,

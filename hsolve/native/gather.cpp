@@ -618,6 +618,154 @@ int64_t fill_ident_pos(const int64_t *ni, int64_t B0, int64_t B, int64_t ni_pad,
   return c;
 }
 
+}  // extern "C" (template below needs C++ linkage)
+
+// Consolidated regular-batch planner kernel: per node, build the segment table
+// (leaf: [int; bnd], branch: child-split 4-segment layout), run the fused front
+// COO gather with child-tagged masking + identity padding (int32 positions),
+// and fill every int32 device map - int_ids/bnd_ids/sperm/map_l/map_r - in the
+// SAME sweep.  One ctypes crossing per batch instead of three, and no Python
+// seg-table assembly (each crossing + numpy pass cost ~0.1-0.2ms per plan).
+template <typename T>
+static int64_t plan_batch_impl(
+    const int64_t *indptr, const int64_t *indices, const T *data,
+    const int64_t *pool, const int64_t *o_int, const int64_t *o_bnd,
+    const int64_t *ni, const int64_t *nb, const int64_t *ni1,
+    const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
+    const int64_t *locpool, const int64_t *lo, const int64_t *lsum,
+    int64_t B0, int64_t B, int64_t ni_pad, int64_t nb_pad, int64_t N,
+    int64_t *colmap, int64_t *coltag, int32_t *pos_out, T *val_out,
+    int32_t *int_ids, int32_t *bnd_ids, int32_t *sperm, int32_t *map_l,
+    int32_t *map_r) {
+  const int64_t m_pad = ni_pad + nb_pad;
+  const int64_t mm = m_pad * m_pad;
+  int64_t c = 0;
+  for (int64_t b = 0; b < B0; ++b) {
+    int64_t so[4], slen[4], stag[4], sfo[4];
+    int ns;
+    if (!ni1) {
+      ns = 2;
+      so[0] = o_int[b]; slen[0] = ni[b]; stag[0] = 0; sfo[0] = 0;
+      so[1] = o_bnd[b]; slen[1] = nb[b]; stag[1] = 0; sfo[1] = ni_pad;
+    } else {
+      ns = 4;
+      so[0] = o_int[b];          slen[0] = ni1[b]; stag[0] = 1; sfo[0] = 0;
+      so[1] = o_int[b] + ni1[b]; slen[1] = ni2[b]; stag[1] = 2; sfo[1] = ni1[b];
+      so[2] = o_bnd[b];          slen[2] = nb1[b]; stag[2] = 1; sfo[2] = ni_pad;
+      so[3] = o_bnd[b] + nb1[b]; slen[3] = nb2[b]; stag[3] = 2;
+      sfo[3] = ni_pad + nb1[b];
+    }
+    for (int s = 0; s < ns; ++s) {
+      const int64_t *cols = pool + so[s];
+      for (int64_t j = 0; j < slen[s]; ++j) {
+        colmap[cols[j]] = sfo[s] + j;
+        coltag[cols[j]] = stag[s];
+      }
+    }
+    const int64_t base = b * mm;
+    for (int s = 0; s < ns; ++s) {
+      const int64_t *rows = pool + so[s];
+      const int64_t rtag = stag[s];
+      for (int64_t i = 0; i < slen[s]; ++i) {
+        const int64_t r = rows[i];
+        const int64_t rb = base + (sfo[s] + i) * m_pad;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t col = indices[p];
+          const int64_t k = colmap[col];
+          if (k >= 0 && (rtag == 0 || coltag[col] != rtag)) {
+            pos_out[c] = (int32_t)(rb + k);
+            val_out[c] = data[p];
+            ++c;
+          }
+        }
+      }
+    }
+    for (int s = 0; s < ns; ++s) {
+      const int64_t *cols = pool + so[s];
+      for (int64_t j = 0; j < slen[s]; ++j) colmap[cols[j]] = -1;
+    }
+    for (int64_t j = ni[b]; j < ni_pad; ++j) {
+      pos_out[c] = (int32_t)(base + j * (m_pad + 1));
+      val_out[c] = T(1.0);
+      ++c;
+    }
+    // device maps (fill_batch_maps body, fused into the same node sweep)
+    int32_t *ir = int_ids + b * ni_pad;
+    const int64_t *ip = pool + o_int[b];
+    for (int64_t j = 0; j < ni[b]; ++j) ir[j] = (int32_t)ip[j];
+    for (int64_t j = ni[b]; j < ni_pad; ++j) ir[j] = (int32_t)N;
+    if (nb_pad) {
+      int32_t *br = bnd_ids + b * nb_pad;
+      const int64_t *bp = pool + o_bnd[b];
+      for (int64_t j = 0; j < nb[b]; ++j) br[j] = (int32_t)bp[j];
+      for (int64_t j = nb[b]; j < nb_pad; ++j) br[j] = (int32_t)N;
+      int32_t *sr = sperm + b * nb_pad;
+      const int64_t *lp = locpool + lo[b];
+      for (int64_t j = 0; j < lsum[b]; ++j) sr[j] = (int32_t)lp[j];
+      for (int64_t j = lsum[b]; j < nb_pad; ++j) sr[j] = (int32_t)j;
+    }
+    if (map_l) {
+      int32_t *ml = map_l + b * m_pad;
+      int32_t *mr = map_r + b * m_pad;
+      const int64_t a1 = ni1[b], a2 = ni2[b], c1 = nb1[b], c2 = nb2[b];
+      for (int64_t j = 0; j < m_pad; ++j) ml[j] = -1;
+      for (int64_t j = 0; j < m_pad; ++j) mr[j] = -1;
+      for (int64_t j = 0; j < a1; ++j) ml[j] = (int32_t)j;
+      for (int64_t j = 0; j < a2; ++j) mr[a1 + j] = (int32_t)j;
+      for (int64_t j = 0; j < c1; ++j) ml[ni_pad + j] = (int32_t)(a1 + j);
+      for (int64_t j = 0; j < c2; ++j) mr[ni_pad + c1 + j] = (int32_t)(a2 + j);
+    }
+  }
+  for (int64_t b = B0; b < B; ++b) {   // dummy (sharding-padding) fronts
+    const int64_t base = b * mm;
+    for (int64_t j = 0; j < ni_pad; ++j) {
+      pos_out[c] = (int32_t)(base + j * (m_pad + 1));
+      val_out[c] = T(1.0);
+      ++c;
+    }
+  }
+  return c;
+}
+
+extern "C" {
+
+int64_t plan_batch_f64(
+    const int64_t *indptr, const int64_t *indices, const double *data,
+    const int64_t *pool, const int64_t *o_int, const int64_t *o_bnd,
+    const int64_t *ni, const int64_t *nb, const int64_t *ni1,
+    const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
+    const int64_t *locpool, const int64_t *lo, const int64_t *lsum,
+    int64_t B0, int64_t B, int64_t ni_pad, int64_t nb_pad, int64_t N,
+    int64_t *colmap, int64_t *coltag, int32_t *pos_out, double *val_out,
+    int32_t *int_ids, int32_t *bnd_ids, int32_t *sperm, int32_t *map_l,
+    int32_t *map_r) {
+  return plan_batch_impl(indptr, indices, data, pool, o_int, o_bnd, ni, nb,
+                         ni1, ni2, nb1, nb2, locpool, lo, lsum, B0, B, ni_pad,
+                         nb_pad, N, colmap, coltag, pos_out, val_out, int_ids,
+                         bnd_ids, sperm, map_l, map_r);
+}
+
+int64_t plan_batch_c128(
+    const int64_t *indptr, const int64_t *indices,
+    const std::complex<double> *data, const int64_t *pool,
+    const int64_t *o_int, const int64_t *o_bnd, const int64_t *ni,
+    const int64_t *nb, const int64_t *ni1, const int64_t *ni2,
+    const int64_t *nb1, const int64_t *nb2, const int64_t *locpool,
+    const int64_t *lo, const int64_t *lsum, int64_t B0, int64_t B,
+    int64_t ni_pad, int64_t nb_pad, int64_t N, int64_t *colmap,
+    int64_t *coltag, int32_t *pos_out, std::complex<double> *val_out,
+    int32_t *int_ids, int32_t *bnd_ids, int32_t *sperm, int32_t *map_l,
+    int32_t *map_r) {
+  return plan_batch_impl(indptr, indices, data, pool, o_int, o_bnd, ni, nb,
+                         ni1, ni2, nb1, nb2, locpool, lo, lsum, B0, B, ni_pad,
+                         nb_pad, N, colmap, coltag, pos_out, val_out, int_ids,
+                         bnd_ids, sperm, map_l, map_r);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Zero the entries of a dense block whose row and column belong to the same child
 // (the extend-add same-child mask, factorization.jl:115-123 semantics), fused here
 // to avoid a second Python-level pass.

@@ -381,6 +381,76 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     """Plan one regular (dense or compressed-with-dense-children) batch: front COO
     gathers, extend-add maps, id/perm fills.  Appends the BatchPlan to ``batches``
     and records the nodes' Schur locations in ``s_batch``/``s_row``."""
+    if pools is not None and gather.ok and B * m_pad * m_pad < 2 ** 31:
+        # consolidated native path: ONE C++ call per batch builds the segment
+        # table, gathers the front COO (int32 positions, identity padding
+        # fused) and fills every int32 device map
+        from hsolve.native import plan_batch_native
+
+        B0n = len(nodes)
+        pool, vals_off, locpool, loc_off, node_nnz = pools
+        niB = ni[:B0n]
+        o_int = vals_off[nodes]
+        o_bnd = o_int + niB
+        bound = int(node_nnz[nodes].sum())
+        if not is_leaf_batch:
+            ni1 = loc.n_int[tree.left[nodes]]
+            ni2 = loc.n_int[tree.right[nodes]]
+            nb1 = loc.n_bnd[tree.left[nodes]]
+            nb2 = loc.n_bnd[tree.right[nodes]]
+            branch = (ni1, ni2, nb1, nb2)
+            sl_pad = max(_round_up(int((ni1 + nb1).max()), opts.pad), 1)
+            sr_pad = max(_round_up(int((ni2 + nb2).max()), opts.pad), 1)
+        else:
+            branch = None
+            sl_pad = sr_pad = 0
+        lsum = loc.n_int[nodes] + loc.n_bnd[nodes]
+        front_pos, front_vals, int_ids, bnd_ids, sperm, map_l, map_r = \
+            plan_batch_native(gather, pool, o_int, o_bnd, niB, nb[:B0n],
+                              branch, locpool, loc_off[nodes], lsum, B0n, B,
+                              ni_pad, nb_pad, N, bound)
+        if B > B0:
+            int_ids[B0:] = N
+            bnd_ids[B0:] = N
+            sperm[B0:] = np.arange(nb_pad, dtype=np.int32)
+            if map_l is not None:
+                map_l[B0:] = -1
+                map_r[B0:] = -1
+        groups_l = {}
+        groups_r = {}
+        if not is_leaf_batch:
+            for kids, gd in ((tree.left[nodes], groups_l),
+                             (tree.right[nodes], groups_r)):
+                sb_kids = s_batch[kids]
+                if len(sb_kids) and np.all(sb_kids == sb_kids[0]):
+                    gd[int(sb_kids[0])] = (s_row[kids],
+                                           np.arange(len(kids), dtype=np.int64))
+                else:
+                    for sb in np.unique(sb_kids):
+                        m = np.flatnonzero(sb_kids == sb)
+                        gd[int(sb)] = (s_row[kids[m]], m.astype(np.int64))
+        s_batch[nodes] = bidx
+        s_row[nodes] = np.arange(B0n, dtype=np.int64)
+        lev_arr = np.zeros(B, dtype=np.int64)
+        lev_arr[:B0] = levels[nodes]
+        rank_cap = 0
+        if compress and nb_pad > 0:
+            cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
+            rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
+        batches.append(BatchPlan(
+            node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad,
+            nb_pad=nb_pad, ni=ni, nb=nb, batch_size=B, front_pos=front_pos,
+            front_vals=front_vals, sperm=sperm, int_ids=int_ids,
+            bnd_ids=bnd_ids, levels=lev_arr, sl_pad=sl_pad, sr_pad=sr_pad,
+            map_l=map_l, map_r=map_r, compress=compress and rank_cap > 0,
+            rank_cap=rank_cap,
+            cplan=cplan if compress and rank_cap > 0 else None, n1=n1, n2=n2,
+            groups_l=tuple(ChildGroup(sb, src, dst) for sb, (src, dst)
+                           in sorted(groups_l.items())),
+            groups_r=tuple(ChildGroup(sb, src, dst) for sb, (src, dst)
+                           in sorted(groups_r.items()))))
+        return
+
     # device index arrays are built int32 from the start (TPU-native index width;
     # halves the fill traffic of these [B, m_pad]-class buffers); in pooled mode
     # the C++ fill below writes rows [0, B0) so only dummy rows need prefilling

@@ -82,3 +82,44 @@ def test_explicit_inverse_off_matches_on():
     assert np.linalg.norm(x_on - x_off) / np.linalg.norm(x_off) < 1e-9
     x_ref = sp.linalg.spsolve(A.tocsc(), b)
     assert np.linalg.norm(x_on - x_ref) / np.linalg.norm(x_ref) < 1e-10
+
+
+def test_precision_escalation_near_singular():
+    """Reduced-precision Arnoldi cycles have a true-residual floor; on a
+    near-singular shifted Laplacian the f32 cycles stall orders of magnitude
+    above reltol while the escalating solver (outer-precision residual phase,
+    krylov._gmres_escalated) converges - the CI-sized reproduction of the
+    helmholtz h=512 divergence (CROSSOVER.md)."""
+    from hsolve import poisson2d
+    from hsolve.factor import solve_with_data
+    from hsolve.planner import plan_factorization
+    from hsolve import SolverOptions, factor_with_plan
+
+    A0, b, shape = poisson2d(64)
+    lam = sp.linalg.eigsh(A0.tocsc().asfptype(), k=1, sigma=0.3, which="LM",
+                          return_eigenvectors=False)[0]
+    A = (A0 - (lam + 3e-7) * sp.eye(A0.shape[0], format="csr")).tocsr()
+    tree = nested_dissection(shape, leafmax=100)
+    opts = SolverOptions(swlevel=0)
+    plan = plan_factorization(A, tree, opts)
+    F = factor_with_plan(plan, opts, dtype=jnp.float32)
+    op64, _ = spmv_format(A, dtype=np.float64)
+    op32, _ = spmv_format(A, dtype=np.float32)
+
+    def M(data, v):
+        return solve_with_data(data, v.astype(jnp.float32)).astype(v.dtype)
+
+    bj = jnp.asarray(np.asarray(b), jnp.float64)
+    x0, i0 = gmres_compiled(_mv, M, bj, reltol=1e-9, restart=30, maxiter=40,
+                            mv_data=op64, M_data=F.solve_data,
+                            inner_dtype="float32", mv_data_inner=op32,
+                            m_eps=1e-6, escalate=False)
+    r0 = float(jnp.linalg.norm(_mv(op64, x0) - bj) / jnp.linalg.norm(bj))
+    assert not i0["converged"] and r0 > 1e-7   # the f32 floor
+
+    x1, i1 = gmres_compiled(_mv, M, bj, reltol=1e-9, restart=30, maxiter=40,
+                            mv_data=op64, M_data=F.solve_data,
+                            inner_dtype="float32", mv_data_inner=op32,
+                            m_eps=1e-6)
+    r1 = float(jnp.linalg.norm(_mv(op64, x1) - bj) / jnp.linalg.norm(bj))
+    assert i1["converged"] and r1 < 1e-9

@@ -165,13 +165,30 @@ def _coo_to_strip(pos: np.ndarray, vals: np.ndarray, B: int, r: int, c: int,
     row = rem // c
     col = rem - row * c
     key = b * np.int64(r) + row
-    uniq, inv = np.unique(key, return_inverse=True)
+    n_ = len(key)
+    # the pooled gather emits entries block-major, row-major, so key is already
+    # non-decreasing: dedup with O(n) change flags instead of np.unique's sort
+    # (the per-block unique/searchsorted/bincount chain dominated structured
+    # planning at h>=384)
+    if n_ and bool(np.all(key[1:] >= key[:-1])):
+        change = np.empty(n_, dtype=bool)
+        change[0] = True
+        np.not_equal(key[1:], key[:-1], out=change[1:])
+        inv = np.cumsum(change) - 1
+        uniq = key[change]
+    else:
+        uniq, inv = np.unique(key, return_inverse=True)
     if len(uniq):
         ub = uniq // r
         urow = uniq - ub * r
-        first = np.searchsorted(ub, ub)            # first index of each b group
-        slot = np.arange(len(uniq), dtype=np.int64) - first
-        nrows = int(np.max(np.bincount(ub, minlength=B)))
+        nu = len(uniq)
+        bchange = np.empty(nu, dtype=bool)
+        bchange[0] = True
+        np.not_equal(ub[1:], ub[:-1], out=bchange[1:])
+        idx = np.arange(nu, dtype=np.int64)
+        first = np.maximum.accumulate(np.where(bchange, idx, 0))
+        slot = idx - first                          # position within its b group
+        nrows = int(slot.max()) + 1
     else:
         ub = urow = slot = np.zeros(0, dtype=np.int64)
         nrows = 0

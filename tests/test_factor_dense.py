@@ -115,3 +115,44 @@ def test_gmres_unpreconditioned_logs_history():
     assert info["resnorm"][0] > info["resnorm"][-1]
     res = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
     assert res < 1e-6
+
+
+def test_regular_planner_consolidated_matches_fallback(monkeypatch):
+    """The consolidated native batch planner (gather.cpp plan_batch: segment
+    table + masked front gather + identity padding + device-map fills in one
+    call) must produce exactly the same batch data as the numpy fallback path
+    (which runs when symfact's native pooled layout is unavailable)."""
+    import hsolve
+    from hsolve.planner import plan_factorization
+    from hsolve.utils import trees as trees_mod
+
+    A, b, shape = hsolve.helmholtz2d(48, k=15.0)
+    opts = hsolve.SolverOptions(swlevel=0, swsize=1)
+
+    def build():
+        tree = hsolve.nested_dissection(shape, leafmax=60)
+        return plan_factorization(A, tree, opts)
+
+    plan_fast = build()
+    monkeypatch.setattr(trees_mod, "_symfact_native", lambda *a, **k: None)
+    plan_ref = build()
+
+    assert len(plan_fast.batches) == len(plan_ref.batches)
+    for bp, br in zip(plan_fast.batches, plan_ref.batches):
+        assert (bp.ni_pad, bp.nb_pad, bp.B, bp.sl_pad, bp.sr_pad) == \
+            (br.ni_pad, br.nb_pad, br.B, br.sl_pad, br.sr_pad)
+        np.testing.assert_array_equal(bp.int_ids, br.int_ids)
+        np.testing.assert_array_equal(bp.bnd_ids, br.bnd_ids)
+        np.testing.assert_array_equal(bp.sperm, br.sperm)
+        for f in ("map_l", "map_r"):
+            a_, b_ = getattr(bp, f), getattr(br, f)
+            assert (a_ is None) == (b_ is None)
+            if a_ is not None:
+                np.testing.assert_array_equal(a_, b_)
+        # COO entry order may differ between the paths; compare as sets
+        op, orf = np.argsort(bp.front_pos, kind="stable"), \
+            np.argsort(br.front_pos, kind="stable")
+        np.testing.assert_array_equal(
+            np.asarray(bp.front_pos)[op], np.asarray(br.front_pos)[orf])
+        np.testing.assert_allclose(bp.front_vals[op], br.front_vals[orf],
+                                   rtol=1e-15)

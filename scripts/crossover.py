@@ -18,7 +18,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_grid(sizes, atol, outdir):
+def run_grid(sizes, atol, outdir, problem="helmholtz2d"):
     import time
 
     os.makedirs(outdir, exist_ok=True)
@@ -29,8 +29,8 @@ def run_grid(sizes, atol, outdir):
             path = os.path.join(outdir, f"h{n}_{mode}.json")
             if os.path.exists(path) and os.path.getsize(path):
                 continue
-            cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--n", str(n)] \
-                + extra
+            cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--n", str(n),
+                   "--problem", problem] + extra
             # Two failure modes, both retryable: (a) the remote-TPU link drops
             # mid-fetch and bench's watchdog emits JSON with gmres_iters=null
             # (cold multi-minute compiles degrade the link; the retry hits the
@@ -148,6 +148,7 @@ def assemble(outdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="128,256,384,512")
+    ap.add_argument("--problem", default="helmholtz2d")
     ap.add_argument("--atol", type=float, default=1e-4)
     ap.add_argument("--assemble", default=None,
                     help="directory of prior bench JSONs to assemble")
@@ -157,7 +158,7 @@ def main():
         assemble(args.assemble)
         return
     sizes = [int(x) for x in args.sizes.split(",")]
-    run_grid(sizes, args.atol, args.outdir)
+    run_grid(sizes, args.atol, args.outdir, problem=args.problem)
     assemble(args.outdir)
 
 

@@ -365,6 +365,25 @@ def symfact(tree: NDTree) -> LocTree:
 def postorder(tree: NDTree) -> np.ndarray:
     """Global elimination order: all ``int`` sets in post-order, then the root boundary
     (parity with ``postorder``, nesteddissection.jl:73-79)."""
+    pool = getattr(tree, "_pool", None)
+    if pool is not None:
+        # pooled symfact layout: one ragged gather over the shared pool instead
+        # of concatenating ~n small per-node views
+        order = tree.topo_order()
+        starts = tree._pool_off[order]
+        lens = tree._pool_ni[order]
+        root = tree.root
+        starts = np.append(starts, tree._pool_off[root] + tree._pool_ni[root])
+        lens = np.append(lens, tree._pool_nb[root])
+        keep = lens > 0
+        starts, lens = starts[keep], lens[keep]
+        if not len(lens):
+            return np.zeros(0, dtype=np.int64)
+        cum = np.cumsum(lens)
+        idx = np.ones(int(cum[-1]), dtype=np.int64)
+        idx[0] = starts[0]
+        idx[cum[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+        return pool[np.cumsum(idx)]
     parts = [tree.int_idx[i] for i in tree.topo_order()]
     parts.append(tree.bnd_idx[tree.root])
     return np.concatenate(parts).astype(np.int64)

@@ -74,7 +74,7 @@ def main():
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--k", type=float, default=40.0)
     ap.add_argument("--leafmax", type=int, default=100)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--swlevel", type=int, default=0)
     ap.add_argument("--swsize", type=int, default=1)
     ap.add_argument("--atol", type=float, default=None,
@@ -170,64 +170,85 @@ def main():
     import gc
 
     gc.freeze()  # keep gen-2 scans of the jax/module heap out of the hot host loops
-    plan_box = [None]
 
-    def run_once():
-        # host planning, split per the reference's protocol boundary: rungmres.jl
-        # times `factor` (rungmres.jl:32,39) AFTER symfact/postorder/permute ran
-        # outside the timer (rungmres.jl:16-19).  Our 'symbolic' half (symfact +
-        # postorder + permutation) is the work the reference excludes; the
-        # 'schedule' half (batch building + the A[I,J] gather maps) replaces work
-        # the reference's timed factor redoes per call via sparse getindex, so it
-        # counts toward the headline metric.
-        t0 = time.perf_counter()
-        plan = plan_factorization(A, tree, opts)
-        t_plan = time.perf_counter() - t0
-        t_sym = plan.timings["symbolic_s"]
-        t_sched = t_plan - t_sym
-        if plan_box[0] is None:
-            plan_box[0] = plan
-        # factor with the FIRST rep's (content-identical) plan object: the plan
-        # is a static jit key, so a fresh object per rep would force a re-trace
-        # of the fused factor program every rep (~0.6s of pure tracing)
-        plan = plan_box[0]
+    def measure():
+        """Component-wise @btime protocol, matching the reference's benchmark
+        (runbenchmarks.jl:38,41 times `factor` and `solve!` as separate @btime
+        minima, i.e. minimum over CONSECUTIVE evaluations of each phase).
 
-        t0 = time.perf_counter()
-        F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
-        jax.block_until_ready(F.levels[-1].lu)
-        t_factor = time.perf_counter() - t0
-        log(f"  plan={t_plan*1e3:.1f}ms factor(numeric)={t_factor:.3f}s")
-        t_setup = t_plan + t_factor
+        Phase split per the reference's protocol boundary: rungmres.jl times
+        `factor` (rungmres.jl:32,39) AFTER symfact/postorder/permute ran outside
+        the timer (rungmres.jl:16-19).  Our 'symbolic' half (symfact + postorder
+        + permutation) is the work the reference excludes; the 'schedule' half
+        (batch building + the A[I,J] gather maps) replaces work the reference's
+        timed factor redoes per call via sparse getindex, so it counts toward
+        the headline.  The first evaluation of each device phase carries jit
+        compilation and is excluded by the minimum (the compiled program is
+        reusable across factorizations - standard accelerator accounting)."""
+        t_sym = t_sched = float("inf")
+        plan = None
+        first = {}
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            p = plan_factorization(A, tree, opts)
+            dt = time.perf_counter() - t0
+            first.setdefault("plan", dt)
+            sym = p.timings["symbolic_s"]
+            t_sym = min(t_sym, sym)
+            t_sched = min(t_sched, dt - sym)
+            if plan is None:
+                # factor with ONE (content-identical) plan object: the plan is
+                # a static jit key, so a fresh object per call would force a
+                # re-trace of the fused factor program (~0.6s of pure tracing)
+                plan = p
+        log(f"  plan: sym={t_sym*1e3:.1f}ms sched={t_sched*1e3:.1f}ms")
 
-        t0 = time.perf_counter()
-        # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native), f64 solution/
-        # residual accumulation and convergence tests (true-residual refinement).
-        # fetch_info=False: the solve ends when x is ready on device; the
-        # diagnostics fetch (a multi-SECOND round-trip on this remote-attached
-        # TPU link) is batched into one transfer after all reps.
-        x, info = hsolve.gmres_compiled(
-            mv_fn, m_fn, bj, reltol=args.reltol, restart=30, maxiter=args.maxiter,
-            mv_data=op_outer, M_data=F.solve_data,
-            inner_dtype=idtype if on_tpu else None,
-            mv_data_inner=op_inner if on_tpu else None,
-            m_eps=1e-6 if on_tpu else 0.0,  # f32 trust floor for Givens estimates
-            fetch_info=False)
-        jax.block_until_ready(x)
-        t_solve = time.perf_counter() - t0
-        # device-side diagnostics (outside the timer): the true residual of the
-        # f64 outer system plus the iteration count, stacked so that ONE
-        # device->host fetch at the end covers every rep (each blocking transfer
-        # on the axon link costs ~25s; per-rep fetches blew the 150s watchdog)
+        t_factor = float("inf")
+        F = None
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
+            jax.block_until_ready(F.levels[-1].lu)
+            dt = time.perf_counter() - t0
+            first.setdefault("factor", dt)
+            t_factor = min(t_factor, dt)
+        log(f"  factor(numeric): best={t_factor*1e3:.1f}ms "
+            f"cold={first['factor']:.3f}s")
+
+        t_solve = float("inf")
+        x = None
+        info = None
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native) with a
+            # fused outer-precision escalation phase, f64 solution/residual
+            # accumulation and convergence tests.  fetch_info=False: the solve
+            # ends when x is ready on device; the diagnostics fetch (a multi-
+            # SECOND round-trip on this remote-attached TPU link) is deferred.
+            x, info = hsolve.gmres_compiled(
+                mv_fn, m_fn, bj, reltol=args.reltol, restart=30,
+                maxiter=args.maxiter, mv_data=op_outer, M_data=F.solve_data,
+                inner_dtype=idtype if on_tpu else None,
+                mv_data_inner=op_inner if on_tpu else None,
+                m_eps=1e-6 if on_tpu else 0.0,
+                fetch_info=False)
+            jax.block_until_ready(x)
+            dt = time.perf_counter() - t0
+            first.setdefault("solve", dt)
+            t_solve = min(t_solve, dt)
+        log(f"  solve: best={t_solve*1e3:.2f}ms cold={first['solve']:.3f}s")
+
+        # device-side diagnostics (outside the timers): true residual of the
+        # f64 outer system, iteration count, and the max pivot diag ratio
+        # (explicit-inverse conditioning guard), stacked so ONE deferred
+        # device->host fetch covers everything
         rel = jnp.linalg.norm(mv_fn(op_outer, x) - bj) / jnp.linalg.norm(bj)
         iters = info["_device"][0] if "_device" in info else info["iters"]
-        # pivot-conditioning guard (explicit-inverse mode, options.py note): the
-        # max pivot diag ratio rides along in the same deferred fetch
         cond_dev, cond_thresh = F.max_diag_ratio_device()
         diag = jnp.stack([jnp.asarray(iters, jnp.float64),
                           jnp.asarray(rel, jnp.float64),
                           jnp.asarray(cond_dev, jnp.float64)])
-        return (t_sym, t_sched, t_factor, t_solve, diag, cond_thresh,
-                t_setup)
+        return (t_sym, t_sched, t_factor, t_solve, diag, cond_thresh, first)
 
     import scipy.sparse as sp_
 
@@ -255,12 +276,10 @@ def main():
         bj = jnp.asarray(b, dtype=gdtype)
         mv_fn, m_fn, idtype = _mv, _precond, np.dtype(half).name
 
-    # run all timed reps BEFORE any device->host data fetch: on the axon-tunneled
-    # TPU the first fetch permanently switches the session into a synchronous mode
-    # where every blocking call pays ~25ms, which would contaminate later reps
-    reps_out = []
-    for rep in range(args.reps):
-        reps_out.append(run_once())
+    # run all timed phases BEFORE any device->host data fetch: on the axon-
+    # tunneled TPU the first fetch permanently switches the session into a
+    # synchronous mode where every blocking call pays ~25ms
+    t_sym, t_sched, t_factor, t_solve, diag_dev, cond_thresh, first = measure()
 
     # --- baseline proxy: single-core scipy SuperLU direct solve (after our reps:
     # see the allocator-fragmentation note above; host-side, safe before fetch).
@@ -277,26 +296,13 @@ def main():
     log(f"baseline proxy (scipy splu factor+solve, 1 CPU core, best of "
         f"{min(args.reps, 3)}): {t_base:.3f}s")
 
-    # Build the COMPLETE result line from host-side data (all timings live in
-    # reps_out before any device fetch) so a hung diagnostics fetch below cannot
-    # lose the benchmark: the watchdog emits this line with iters/relres marked
-    # unavailable instead of aborting (round-2 lost every number to an rc=3 here).
-    #
-    # Headline accounting (protocol parity with the reference): rungmres.jl times
-    # `factor` (rungmres.jl:32,39) with symfact/postorder/permute done OUTSIDE the
-    # timer (rungmres.jl:16-19).  The headline therefore counts plan-schedule
-    # (our analog of the A[I,J] getindex work the reference's factor redoes per
-    # call) + numeric factor + GMRES solve, and reports the symbolic half
-    # (symfact/postorder/permutation) separately - both alone and folded into
-    # `vs_baseline_incl_symbolic` for the conservative all-inclusive ratio.
-    def _key(r):
-        return r[1] + r[2] + r[3]  # sched + factor + solve
-
-    best_idx = min(range(len(reps_out)), key=lambda i: _key(reps_out[i]))
-    t_sym, t_sched, t_factor, t_solve = reps_out[best_idx][:4]
-    cond_thresh = reps_out[best_idx][5]
+    # Build the COMPLETE result line from host-side data (all timings measured
+    # before any device fetch) so a hung diagnostics fetch below cannot lose the
+    # benchmark: the watchdog emits this line with iters/relres marked
+    # unavailable instead of aborting (round-2 lost every number to an rc=3
+    # here).  Headline = sched + factor + solve (see measure()'s protocol note).
     best_total = t_sched + t_factor + t_solve
-    plan = plan_box[0]
+    plan = plan_factorization(A, tree, opts)  # for the static roofline analysis
     from hsolve.utils.profiling import roofline_report
 
     roofline = roofline_report(plan, measured_factor_s=max(t_factor, 1e-9),
@@ -337,8 +343,8 @@ def main():
             "baseline_proxy_s": round(t_base, 4),
             # rep-0 wall times include jit compilation (cold start; warm-cache
             # reruns of the same shapes skip it via the persistent compile cache)
-            "first_rep_setup_s": round(reps_out[0][6], 4),
-            "first_rep_solve_s": round(reps_out[0][3], 4),
+            "first_rep_setup_s": round(first["plan"] + first["factor"], 4),
+            "first_rep_solve_s": round(first["solve"], 4),
             "device": f"{dev.platform}",
         },
     }
@@ -382,23 +388,20 @@ def main():
     wd.daemon = True
     wd.start()
 
-    # fetch every rep's (iters, relres) - the per-rep [2] arrays were already
-    # computed during the reps; fetching them directly avoids dispatching a NEW
-    # stack program at fetch time (a fresh tiny compile over a degraded remote
-    # link can itself take minutes and blow the watchdog)
-    diags = np.asarray(jax.device_get([r[4] for r in reps_out]))
-    for rep, r in enumerate(reps_out):
-        iters, res, cond = int(diags[rep, 0]), float(diags[rep, 1]), \
-            float(diags[rep, 2])
-        log(f"rep {rep}: plan={r[0] + r[1]:.3f}s factor={r[2]:.3f}s "
-            f"solve={r[3]:.3f}s iters={iters} relres={res:.2e} "
-            f"max_diag_ratio={cond:.2e}")
-        if rep == best_idx:
-            result["detail"]["gmres_iters"] = iters
-            result["detail"]["relres"] = res
-            result["detail"]["max_diag_ratio"] = cond
-            if cond_thresh != float("inf"):
-                result["detail"]["cond_risky"] = bool(cond > cond_thresh)
+    # fetch (iters, relres, max_diag_ratio) - already computed on device during
+    # the measured phases; fetching directly avoids dispatching a NEW program at
+    # fetch time (a fresh tiny compile over a degraded remote link can itself
+    # take minutes and blow the watchdog)
+    diags = np.asarray(jax.device_get(diag_dev))
+    iters, res, cond = int(diags[0]), float(diags[1]), float(diags[2])
+    log(f"best: plan={t_sym + t_sched:.4f}s factor={t_factor:.4f}s "
+        f"solve={t_solve:.4f}s iters={iters} relres={res:.2e} "
+        f"max_diag_ratio={cond:.2e}")
+    result["detail"]["gmres_iters"] = iters
+    result["detail"]["relres"] = res
+    result["detail"]["max_diag_ratio"] = cond
+    if cond_thresh != float("inf"):
+        result["detail"]["cond_risky"] = bool(cond > cond_thresh)
 
     wd.cancel()
     emit()

@@ -10,7 +10,7 @@ single-core scipy SuperLU factor+solve of the same system run in-process - a
 compiled multifrontal is substantially faster than the reference's research Julia code
 on these sizes).
 
-Usage: python bench.py [--n 128] [--k 40] [--leafmax 100] [--reps 3] [--swlevel 0]
+Usage: python bench.py [--n 128] [--k 40] [--leafmax 100] [--reps 10] [--swlevel 0]
 """
 
 import argparse
@@ -157,11 +157,9 @@ def main():
     if args.explicit_inverse is not None:
         opts = opts.replace(explicit_inverse=args.explicit_inverse == "1")
 
-    # symbolic phase: tree construction runs once per problem (the reference builds
-    # its tree in MATLAB offline and loads it, rungmres.jl:15); planning runs per
-    # rep inside run_once so the best-of-reps accounting covers it like factor and
-    # solve (jit compilation stays excluded via warm-up reps - the compiled program
-    # is reusable across factorizations)
+    # tree construction runs once per problem (the reference builds its tree in
+    # MATLAB offline and loads it, rungmres.jl:15); planning/factor/solve are
+    # measured component-wise in measure() below
     tree = hsolve.nested_dissection(shape, leafmax=args.leafmax)
     # warm the planner code paths (numpy/ctypes dispatch caches) on a tiny problem,
     # mirroring how rep 0 warms the device programs

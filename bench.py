@@ -43,6 +43,31 @@ def _precond(data, v):
     return solve_with_data(data, v.astype(_FD[0])).astype(v.dtype)
 
 
+def _sync(x):
+    """Truthful device-completion barrier.
+
+    On the axon-tunneled TPU, ``jax.block_until_ready`` on a LARGE buffer
+    returns early (measured: a 13.7 TFLOP matmul chain "ready" in 0.2ms while
+    a dependent scalar reduction waits the true ~350ms).  Blocking on a tiny
+    consumer of the output is the only trustworthy barrier: the reduction
+    program can only run after the producing program finished, and the device
+    queue is serial, so its scalar's readiness implies everything before it
+    completed.  The extra reduction dispatch is charged to the timed phase
+    (a sub-ms constant, conservative)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = None
+    for a in jax.tree_util.tree_leaves(x):
+        if hasattr(a, "ravel"):
+            leaf = a
+            break
+    if leaf is None:
+        jax.block_until_ready(x)
+        return
+    jax.block_until_ready(jnp.sum(jnp.real(leaf.ravel()[:8])))
+
+
 def _mv_split(data, v):
     """Real-equivalent matvec for a complex system: v = [Re x; Im x] (f64), data =
     (op_real, op_imag).  TPU has no c128; the f64 outer loop runs on the 2N real
@@ -206,7 +231,7 @@ def main():
         for r in range(args.reps):
             t0 = time.perf_counter()
             F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
-            jax.block_until_ready(F.levels[-1].lu)
+            _sync(F.levels[-1].lu)
             dt = time.perf_counter() - t0
             first.setdefault("factor", dt)
             t_factor = min(t_factor, dt)
@@ -230,7 +255,7 @@ def main():
                 mv_data_inner=op_inner if on_tpu else None,
                 m_eps=1e-6 if on_tpu else 0.0,
                 fetch_info=False)
-            jax.block_until_ready(x)
+            _sync(x)
             dt = time.perf_counter() - t0
             first.setdefault("solve", dt)
             t_solve = min(t_solve, dt)

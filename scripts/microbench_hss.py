@@ -20,14 +20,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def t(fn, reps=10):
+def _sync(x):
+    """Truthful completion barrier: axon's block_until_ready returns early on
+    large buffers; block on a tiny dependent reduction instead (see bench._sync)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn())
+    leaf = next(a for a in jax.tree_util.tree_leaves(x) if hasattr(a, "ravel"))
+    jax.block_until_ready(jnp.sum(jnp.real(leaf.ravel()[:8])))
+
+
+def t(fn, reps=10):
+    _sync(fn())
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -44,28 +44,10 @@ def _precond(data, v):
 
 
 def _sync(x):
-    """Truthful device-completion barrier.
+    """Truthful device-completion barrier (see hsolve.utils.profiling.device_sync)."""
+    from hsolve.utils.profiling import device_sync
 
-    On the axon-tunneled TPU, ``jax.block_until_ready`` on a LARGE buffer
-    returns early (measured: a 13.7 TFLOP matmul chain "ready" in 0.2ms while
-    a dependent scalar reduction waits the true ~350ms).  Blocking on a tiny
-    consumer of the output is the only trustworthy barrier: the reduction
-    program can only run after the producing program finished, and the device
-    queue is serial, so its scalar's readiness implies everything before it
-    completed.  The extra reduction dispatch is charged to the timed phase
-    (a sub-ms constant, conservative)."""
-    import jax
-    import jax.numpy as jnp
-
-    leaf = None
-    for a in jax.tree_util.tree_leaves(x):
-        if hasattr(a, "ravel"):
-            leaf = a
-            break
-    if leaf is None:
-        jax.block_until_ready(x)
-        return
-    jax.block_until_ready(jnp.sum(jnp.real(leaf.ravel()[:8])))
+    device_sync(x)
 
 
 def _mv_split(data, v):

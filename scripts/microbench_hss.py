@@ -21,13 +21,10 @@ sys.path.insert(0, ROOT)
 
 
 def _sync(x):
-    """Truthful completion barrier: axon's block_until_ready returns early on
-    large buffers; block on a tiny dependent reduction instead (see bench._sync)."""
-    import jax
-    import jax.numpy as jnp
+    """Truthful completion barrier (hsolve.utils.profiling.device_sync)."""
+    from hsolve.utils.profiling import device_sync
 
-    leaf = next(a for a in jax.tree_util.tree_leaves(x) if hasattr(a, "ravel"))
-    jax.block_until_ready(jnp.sum(jnp.real(leaf.ravel()[:8])))
+    device_sync(x)
 
 
 def t(fn, reps=10):

@@ -9,12 +9,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def t(fn, reps=30):
-    import jax
-    jax.block_until_ready(fn())
+    from hsolve.utils.profiling import device_sync
+    device_sync(fn())
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+        device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -18,7 +18,8 @@ def t(fn, reps=20):
     for _ in range(reps):
         out = fn()
     import jax
-    jax.block_until_ready(out)
+    from hsolve.utils.profiling import device_sync
+    device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 

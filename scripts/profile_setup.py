@@ -5,6 +5,8 @@ import time
 
 import numpy as np
 
+from hsolve.utils.profiling import device_sync
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -26,11 +28,11 @@ def main():
 
     def t(fn, reps=10):
         out = fn()
-        jax.block_until_ready(out)
+        device_sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
-        jax.block_until_ready(out)
+        device_sync(out)
         return (time.perf_counter() - t0) / reps
 
     # 1. host cast + transfer of vals
@@ -42,13 +44,13 @@ def main():
     print(f"vals transfer (pre-cast): {dt*1e3:.2f} ms")
 
     pos_list = [jax.device_put(np.asarray(bp.front_pos)) for bp in plan.batches]
-    jax.block_until_ready(pos_list)
+    device_sync(pos_list)
 
     fused = jax.jit(lambda vs, ps: traced_numeric_phase(
         plan, [build_front_vals(bp, v, p)
                for bp, v, p in zip(plan.batches, vs, ps)], opts))
     vlist = [jnp.asarray(v) for v in vals32]
-    jax.block_until_ready(vlist)
+    device_sync(vlist)
     dt = t(lambda: fused(vlist, pos_list))
     print(f"fused jit (vals resident): {dt*1e3:.2f} ms")
 

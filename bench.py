@@ -286,8 +286,54 @@ def main():
     # synchronous mode where every blocking call pays ~25ms
     t_sym, t_sched, t_factor, t_solve, diag_dev, cond_thresh, first = measure()
 
+    # --- fetch the device diagnostics NOW, while the link is fresh.  The
+    # multi-ten-second host-bound splu baseline below starves the axon tunnel
+    # and drops the session at large n (h=768: three identical UNAVAILABLE
+    # failures when this fetch sat after the baseline), so the fetch must come
+    # first.  Worker thread + timeout + exception guard: a wedged or dropped
+    # link degrades the artifact (diagnostics marked unavailable) instead of
+    # losing the run.
+    import threading
+
+    # quiesce the keepalive thread BEFORE the fetch: a concurrent
+    # block_until_ready from the side thread racing the main thread's
+    # device_get can wedge the axon client (observed: warm runs whose
+    # lifetime spanned a keepalive tick hung 100% of the time on this fetch,
+    # while sub-45s runs fetched fine)
+    if keepalive_stop is not None:
+        keepalive_stop.set()
+        keepalive_thread.join(timeout=60.0)
+
+    fetch_timeout = float(os.environ.get("HSOLVE_FETCH_TIMEOUT", "600"))
+    fetched = {}
+
+    def _fetch():
+        # (iters, relres, max_diag_ratio) were computed on device during the
+        # measured phases; fetching directly avoids dispatching a NEW program
+        # at fetch time (a fresh tiny compile over a degraded remote link can
+        # itself take minutes)
+        try:
+            fetched["diags"] = np.asarray(jax.device_get(diag_dev))
+        except Exception as e:  # dropped link raises UNAVAILABLE
+            fetched["err"] = repr(e)
+
+    _ft = threading.Thread(target=_fetch, daemon=True)
+    _ft.start()
+    _ft.join(fetch_timeout)
+    if "diags" in fetched:
+        diags = fetched["diags"]
+        iters, res, cond = int(diags[0]), float(diags[1]), float(diags[2])
+        log(f"best: plan={t_sym + t_sched:.4f}s factor={t_factor:.4f}s "
+            f"solve={t_solve:.4f}s iters={iters} relres={res:.2e} "
+            f"max_diag_ratio={cond:.2e}")
+    else:
+        iters = res = cond = None
+        log("WARNING: device->host diagnostics fetch failed "
+            f"({fetched.get('err', f'timeout after {fetch_timeout:.0f}s')}); "
+            "emitting JSON without gmres diagnostics")
+
     # --- baseline proxy: single-core scipy SuperLU direct solve (after our reps:
-    # see the allocator-fragmentation note above; host-side, safe before fetch).
+    # see the allocator-fragmentation note above; host-side).
     # Same best-of-reps treatment as our own timings (symmetric protocol).
     import scipy.sparse.linalg as spla
 
@@ -336,8 +382,11 @@ def main():
             "plan_schedule_s": round(t_sched, 4),
             "total_incl_symbolic_s": round(t_sym + best_total, 4),
             "vs_baseline_incl_symbolic": round(t_base / (t_sym + best_total), 3),
-            "gmres_iters": None, "relres": None,  # filled by the fetch below
-            "max_diag_ratio": None, "cond_risky": None,
+            # None when the diagnostics fetch failed (dropped remote link)
+            "gmres_iters": iters, "relres": res,
+            "max_diag_ratio": cond,
+            "cond_risky": None if (cond is None or cond_thresh == float("inf"))
+            else bool(cond > cond_thresh),
             "cond_risk_threshold": None if cond_thresh == float("inf")
             else round(float(cond_thresh), 1),
             "factor_gflops": roofline["factor_gflops"],
@@ -354,62 +403,7 @@ def main():
         },
     }
 
-    import threading
-
-    _emit_lock = threading.Lock()
-    _emitted = [False]
-
-    def emit():
-        with _emit_lock:
-            if not _emitted[0]:
-                _emitted[0] = True
-                print(json.dumps(result), flush=True)
-
-    # watchdog: the deferred diagnostics fetch below is the one place a dropped
-    # remote-TPU link blocks forever (observed in the wild); emit the host-measured
-    # JSON line (diagnostics unavailable) and exit cleanly instead of losing the run
-    # the link degrades after multi-minute compiles: a single fetch can take
-    # minutes (observed >150s after a 235s compile); the JSON line is safe either
-    # way, so give the diagnostics fetch a generous budget
-    fetch_timeout = float(os.environ.get("HSOLVE_FETCH_TIMEOUT", "600"))
-
-    def _fetch_watchdog():
-        log(f"WARNING: device->host fetch did not complete within "
-            f"{fetch_timeout:.0f}s (remote TPU link dropped?); emitting JSON "
-            "without gmres diagnostics")
-        emit()
-        os._exit(0)
-
-    # quiesce the keepalive thread BEFORE the fetch: a concurrent
-    # block_until_ready from the side thread racing the main thread's
-    # device_get can wedge the axon client (observed: warm runs whose
-    # lifetime spanned a keepalive tick hung 100% of the time on this
-    # fetch, while sub-45s runs fetched fine)
-    if keepalive_stop is not None:
-        keepalive_stop.set()
-        keepalive_thread.join(timeout=60.0)
-
-    wd = threading.Timer(fetch_timeout, _fetch_watchdog)
-    wd.daemon = True
-    wd.start()
-
-    # fetch (iters, relres, max_diag_ratio) - already computed on device during
-    # the measured phases; fetching directly avoids dispatching a NEW program at
-    # fetch time (a fresh tiny compile over a degraded remote link can itself
-    # take minutes and blow the watchdog)
-    diags = np.asarray(jax.device_get(diag_dev))
-    iters, res, cond = int(diags[0]), float(diags[1]), float(diags[2])
-    log(f"best: plan={t_sym + t_sched:.4f}s factor={t_factor:.4f}s "
-        f"solve={t_solve:.4f}s iters={iters} relres={res:.2e} "
-        f"max_diag_ratio={cond:.2e}")
-    result["detail"]["gmres_iters"] = iters
-    result["detail"]["relres"] = res
-    result["detail"]["max_diag_ratio"] = cond
-    if cond_thresh != float("inf"):
-        result["detail"]["cond_risky"] = bool(cond > cond_thresh)
-
-    wd.cancel()
-    emit()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -568,29 +568,62 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                         zip(np.cumsum([0] + lens)[:-1], lens))
                 pos_list = cache["pos"]
                 spans = cache["spans"]
-                vals_np = np.concatenate(
-                    [np.asarray(bp.front_vals, dtype=dtype)
-                     for bp in plan.batches]) if spans else \
-                    np.zeros((0,), dtype=np.dtype(dtype))
                 iscx = np.issubdtype(np.dtype(dtype), np.complexfloating)
-                if iscx:
-                    # complex buffers cannot cross the host<->device link on the
-                    # axon transport: ship [2, nnz] real halves, combine on device
-                    rdt = np.zeros((), dtype=np.dtype(dtype)).real.dtype
-                    vals_flat = jnp.asarray(
-                        np.stack([vals_np.real, vals_np.imag]).astype(rdt))
+                # device-resident value source: when the planner emitted
+                # A.data source indices for every batch, the front values are
+                # re-gathered ON DEVICE from a cached copy of A_perm.data -
+                # zero host->device traffic per (re-)factorization (the value
+                # transfer was ~70% of warm factor time on the remote link).
+                use_src = bool(spans) and all(
+                    bp.front_src is not None for bp in plan.batches)
+                if use_src:
+                    if "srcflat" not in cache:
+                        cache["srcflat"] = jax.device_put(np.concatenate(
+                            [bp.front_src for bp in plan.batches]))
+                        ad = plan.A_raw[2]
+                        cache["adata"] = jnp.asarray(
+                            np.stack([ad.real, ad.imag])) if \
+                            np.iscomplexobj(ad) else jnp.asarray(ad)
+                    variant = "src"
+                    vals_in = (cache["adata"], cache["srcflat"])
+
+                    def _vals_of(inp):
+                        ad, sf = inp
+                        ad = (ad[0] + 1j * ad[1]).astype(dtype) if iscx \
+                            else ad.astype(dtype)
+                        return jnp.where(sf >= 0, ad[jnp.clip(sf, 0)],
+                                         jnp.ones((), dtype))
                 else:
-                    vals_flat = jnp.asarray(vals_np)
+                    vals_np = np.concatenate(
+                        [np.asarray(bp.front_vals, dtype=dtype)
+                         for bp in plan.batches]) if spans else \
+                        np.zeros((0,), dtype=np.dtype(dtype))
+                    if iscx:
+                        # complex buffers cannot cross the host<->device link
+                        # on the axon transport: ship [2, nnz] real halves,
+                        # combine on device
+                        rdt = np.zeros((), dtype=np.dtype(dtype)).real.dtype
+                        vals_flat = jnp.asarray(
+                            np.stack([vals_np.real, vals_np.imag]).astype(rdt))
+                    else:
+                        vals_flat = jnp.asarray(vals_np)
+                    variant = "vals"
+                    vals_in = (vals_flat,)
+
+                    def _vals_of(inp):
+                        vf = inp[0]
+                        if iscx:
+                            vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                        return vf
                 chunks = _fuse_chunks(plan)
                 if len(chunks) == 1:
                     # the jitted closure bakes in the full opts (tolerances,
                     # seed, ...) - key on all of them so a re-factorization with
                     # different options never reuses a stale program
-                    key = (str(dtype), "vals", dataclasses.astuple(opts))
+                    key = (str(dtype), variant, dataclasses.astuple(opts))
                     if key not in cache:
-                        def _run(vf, ps):
-                            if iscx:
-                                vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                        def _run(vi, ps):
+                            vf = _vals_of(vi)
                             return traced_numeric_phase(
                                 plan,
                                 [build_front_vals(
@@ -600,7 +633,7 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                                 opts)
 
                         cache[key] = jax.jit(_run)
-                    levels, root = cache[key](vals_flat, pos_list)
+                    levels, root = cache[key](vals_in, pos_list)
                     return Factorization(N=plan.N, perm=plan.perm, levels=levels,
                                          root=root, opts=opts, plan=plan)
                 # chunked fusion: a handful of bounded-size programs with the
@@ -627,15 +660,14 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                     keep = tuple(sorted(
                         src for src, last in last_use.items()
                         if src < hi and last >= hi))
-                    key = (str(dtype), "vals", lo, hi, in_keys, keep,
+                    key = (str(dtype), variant, lo, hi, in_keys, keep,
                            dataclasses.astuple(opts))
                     specs.append((key, lo, hi, in_keys, keep))
                     live = set(keep)
 
                 def make_chunk(lo, hi, in_keys, keep):
-                    def _run_chunk(vf, ps, s_in):
-                        if iscx:
-                            vf = (vf[0] + 1j * vf[1]).astype(dtype)
+                    def _run_chunk(vi, ps, s_in):
+                        vf = _vals_of(vi)
                         fr = [build_front_vals(
                             bp, jax.lax.slice(vf, (o,), (o + n,)), p)
                             for bp, (o, n), p in zip(
@@ -654,8 +686,9 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                     # abstract pass: propagate the inter-chunk stack avals and
                     # lower every missing program (tracing stays on this
                     # thread - only the XLA compile below is parallelized)
-                    vals_aval = jax.ShapeDtypeStruct(vals_flat.shape,
-                                                     vals_flat.dtype)
+                    vals_aval = tuple(
+                        jax.ShapeDtypeStruct(v.shape, v.dtype)
+                        for v in vals_in)
                     pos_avals = [jax.ShapeDtypeStruct(p.shape, p.dtype)
                                  for p in pos_list]
                     aval_stacks: dict = {}
@@ -696,7 +729,7 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
                 stacks: dict = {}
                 for key, lo, hi, in_keys, keep in specs:
                     s_in = tuple(stacks[k] for k in in_keys)
-                    res = cache[key](vals_flat, pos_list[lo:hi], s_in)
+                    res = cache[key](vals_in, pos_list[lo:hi], s_in)
                     levels.extend(res[0])
                     stacks = dict(zip(keep, res[1]))
                     if hi == nb_:

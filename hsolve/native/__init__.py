@@ -118,6 +118,11 @@ def _load():
         fn = getattr(lib, nm)
         fn.restype = ctypes.c_int64
         fn.argtypes = [i64p] * 15 + [ctypes.c_int64] * 5 + [i64p] * 9
+    for nm in ("plan_batches_all_f64", "plan_batches_all_c128"):
+        fn = getattr(lib, nm)
+        fn.restype = None
+        fn.argtypes = ([i64p] * 5 + [ctypes.c_int64] + [i64p] * 11 +
+                       [ctypes.c_int64] + [i64p] * 8)
     _lib = lib
     return _lib
 
@@ -532,6 +537,74 @@ def plan_batch_native(gather: "CsrGather", pool: np.ndarray, o_int, o_bnd,
            _pt(bnd_ids), _pt(sperm), mlp, mrp)
     return (pos[:n].copy(), val[:n].copy(), int_ids, bnd_ids, sperm,
             map_l, map_r)
+
+
+def plan_batches_all_native(gather: "CsrGather", reqs):
+    """Whole-plan consolidation of :func:`plan_batch_native`: ONE ctypes crossing
+    plans every regular batch (gather.cpp plan_batches_all).  Each request dict
+    carries the per-batch arguments (``o_int/o_bnd/ni/nb/branch/lo/lsum/B0/B/
+    ni_pad/nb_pad/bound``) plus the caller-allocated int32 map outputs
+    (``int_ids/bnd_ids/sperm/map_l/map_r``), which are filled in place.
+    Returns a list of (front_pos, front_vals, front_src) views into shared COO
+    buffers (kept alive by the returned arrays); ``front_src`` holds per-entry
+    source indices into the CSR data array (-1 for identity padding), enabling
+    the device-resident value gather in the numeric phase."""
+    g = gather
+    dt = np.complex128 if g.iscomplex else np.float64
+    nb_ = len(reqs)
+    meta = np.empty((nb_, 6), dtype=np.int64)
+    outp = np.zeros((nb_, 5), dtype=np.uint64)
+    pos_off = np.empty(nb_ + 1, dtype=np.int64)
+    pos_off[0] = 0
+    cat = {k: [] for k in ("o_int", "o_bnd", "ni", "nb", "ni1", "ni2",
+                           "nb1", "nb2", "lo", "lsum")}
+    no = 0
+    for i, r in enumerate(reqs):
+        B0, B = r["B0"], r["B"]
+        meta[i] = (no, B0, B, r["ni_pad"], r["nb_pad"],
+                   0 if r["branch"] is None else 1)
+        for k in ("o_int", "o_bnd", "ni", "nb", "lo", "lsum"):
+            cat[k].append(np.ascontiguousarray(r[k], dtype=np.int64))
+        if r["branch"] is None:
+            z = np.zeros(B0, dtype=np.int64)
+            for k in ("ni1", "ni2", "nb1", "nb2"):
+                cat[k].append(z)
+        else:
+            for k, v in zip(("ni1", "ni2", "nb1", "nb2"), r["branch"]):
+                cat[k].append(np.ascontiguousarray(v, dtype=np.int64))
+        for j, k in enumerate(("int_ids", "bnd_ids", "sperm", "map_l",
+                               "map_r")):
+            a = r.get(k)
+            if a is not None:
+                outp[i, j] = a.ctypes.data
+        cap = (r["bound"] + int(np.sum(r["ni_pad"] - cat["ni"][-1][:B0]))
+               + (B - B0) * r["ni_pad"])
+        pos_off[i + 1] = pos_off[i] + cap
+        no += B0
+    flat = {k: (np.concatenate(v) if v else np.zeros(1, dtype=np.int64))
+            for k, v in cat.items()}
+    total = int(pos_off[-1])
+    pos = np.empty(max(total, 1), dtype=np.int32)
+    val = np.empty(max(total, 1), dtype=dt)
+    src = np.empty(max(total, 1), dtype=np.int32)
+    counts = np.empty(nb_, dtype=np.int64)
+    if not hasattr(g, "_coltag"):
+        g._coltag = np.zeros(g.ncols, dtype=np.int64)
+    pool = np.ascontiguousarray(reqs[0]["pool"], dtype=np.int64)
+    locpool = np.ascontiguousarray(reqs[0]["locpool"], dtype=np.int64)
+    fn = _lib.plan_batches_all_c128 if g.iscomplex else \
+        _lib.plan_batches_all_f64
+    fn(*g.csr_ptrs, _pt(pool), _pt(locpool), nb_, _pt(meta),
+       _pt(flat["o_int"]), _pt(flat["o_bnd"]), _pt(flat["ni"]),
+       _pt(flat["nb"]), _pt(flat["ni1"]), _pt(flat["ni2"]), _pt(flat["nb1"]),
+       _pt(flat["nb2"]), _pt(flat["lo"]), _pt(flat["lsum"]), gather.ncols,
+       g.colmap_ptr, _pt(g._coltag), _pt(pos_off), _pt(pos), _pt(val),
+       _pt(src), _pt(outp), _pt(counts))
+    out = []
+    for i in range(nb_):
+        o, c = int(pos_off[i]), int(counts[i])
+        out.append((pos[o:o + c], val[o:o + c], src[o:o + c]))
+    return out
 
 
 def symfact_pooled_native(left: np.ndarray, right: np.ndarray, root: int,

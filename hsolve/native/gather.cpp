@@ -636,7 +636,11 @@ static int64_t plan_batch_impl(
     int64_t B0, int64_t B, int64_t ni_pad, int64_t nb_pad, int64_t N,
     int64_t *colmap, int64_t *coltag, int32_t *pos_out, T *val_out,
     int32_t *int_ids, int32_t *bnd_ids, int32_t *sperm, int32_t *map_l,
-    int32_t *map_r) {
+    int32_t *map_r, int32_t *src_out = nullptr) {
+  // src_out (optional): per-entry source index into the CSR data array (-1 for
+  // the identity-padding entries), so the factorization can re-gather the
+  // front values from a DEVICE-resident copy of A instead of shipping them
+  // over the host link on every (re-)factorization.
   const int64_t m_pad = ni_pad + nb_pad;
   const int64_t mm = m_pad * m_pad;
   int64_t c = 0;
@@ -675,6 +679,7 @@ static int64_t plan_batch_impl(
           if (k >= 0 && (rtag == 0 || coltag[col] != rtag)) {
             pos_out[c] = (int32_t)(rb + k);
             val_out[c] = data[p];
+            if (src_out) src_out[c] = (int32_t)p;
             ++c;
           }
         }
@@ -687,6 +692,7 @@ static int64_t plan_batch_impl(
     for (int64_t j = ni[b]; j < ni_pad; ++j) {
       pos_out[c] = (int32_t)(base + j * (m_pad + 1));
       val_out[c] = T(1.0);
+      if (src_out) src_out[c] = -1;
       ++c;
     }
     // device maps (fill_batch_maps body, fused into the same node sweep)
@@ -721,13 +727,83 @@ static int64_t plan_batch_impl(
     for (int64_t j = 0; j < ni_pad; ++j) {
       pos_out[c] = (int32_t)(base + j * (m_pad + 1));
       val_out[c] = T(1.0);
+      if (src_out) src_out[c] = -1;
       ++c;
     }
   }
   return c;
 }
 
+// Whole-plan consolidation: run plan_batch_impl for every regular batch of a
+// factorization plan in ONE ctypes crossing.  Per-node metadata arrives as
+// flat arrays concatenated in batch order (node_off gives each batch's start);
+// per-batch scalars in `meta` (stride 6: node_off, B0, B, ni_pad, nb_pad,
+// is_branch); COO output goes to one shared [pos|val] workspace segmented by
+// pos_off; the int32 map outputs are caller-allocated, their raw pointers in
+// the uint64 table `outp` (stride 5: int_ids, bnd_ids, sperm, map_l, map_r;
+// map entries 0 for leaf batches).  Emits each batch's COO count in `counts`.
+template <typename T>
+static void plan_batches_all_impl(
+    const int64_t *indptr, const int64_t *indices, const T *data,
+    const int64_t *pool, const int64_t *locpool, int64_t nbatch,
+    const int64_t *meta, const int64_t *o_int, const int64_t *o_bnd,
+    const int64_t *ni, const int64_t *nb, const int64_t *ni1,
+    const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
+    const int64_t *lo, const int64_t *lsum, int64_t N, int64_t *colmap,
+    int64_t *coltag, const int64_t *pos_off, int32_t *pos_base, T *val_base,
+    int32_t *src_base, const uint64_t *outp, int64_t *counts) {
+  for (int64_t b = 0; b < nbatch; ++b) {
+    const int64_t no = meta[b * 6 + 0];
+    const int64_t B0 = meta[b * 6 + 1];
+    const int64_t B = meta[b * 6 + 2];
+    const int64_t ni_pad = meta[b * 6 + 3];
+    const int64_t nb_pad = meta[b * 6 + 4];
+    const bool is_branch = meta[b * 6 + 5] != 0;
+    const uint64_t *op = outp + b * 5;
+    counts[b] = plan_batch_impl<T>(
+        indptr, indices, data, pool, o_int + no, o_bnd + no, ni + no, nb + no,
+        is_branch ? ni1 + no : nullptr, is_branch ? ni2 + no : nullptr,
+        is_branch ? nb1 + no : nullptr, is_branch ? nb2 + no : nullptr,
+        locpool, lo + no, lsum + no, B0, B, ni_pad, nb_pad, N, colmap, coltag,
+        pos_base + pos_off[b], val_base + pos_off[b], (int32_t *)op[0],
+        (int32_t *)op[1], (int32_t *)op[2], (int32_t *)op[3], (int32_t *)op[4],
+        src_base ? src_base + pos_off[b] : nullptr);
+  }
+}
+
 extern "C" {
+
+void plan_batches_all_f64(
+    const int64_t *indptr, const int64_t *indices, const double *data,
+    const int64_t *pool, const int64_t *locpool, int64_t nbatch,
+    const int64_t *meta, const int64_t *o_int, const int64_t *o_bnd,
+    const int64_t *ni, const int64_t *nb, const int64_t *ni1,
+    const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
+    const int64_t *lo, const int64_t *lsum, int64_t N, int64_t *colmap,
+    int64_t *coltag, const int64_t *pos_off, int32_t *pos_base,
+    double *val_base, int32_t *src_base, const uint64_t *outp,
+    int64_t *counts) {
+  plan_batches_all_impl(indptr, indices, data, pool, locpool, nbatch, meta,
+                        o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
+                        colmap, coltag, pos_off, pos_base, val_base, src_base,
+                        outp, counts);
+}
+
+void plan_batches_all_c128(
+    const int64_t *indptr, const int64_t *indices,
+    const std::complex<double> *data, const int64_t *pool,
+    const int64_t *locpool, int64_t nbatch, const int64_t *meta,
+    const int64_t *o_int, const int64_t *o_bnd, const int64_t *ni,
+    const int64_t *nb, const int64_t *ni1, const int64_t *ni2,
+    const int64_t *nb1, const int64_t *nb2, const int64_t *lo,
+    const int64_t *lsum, int64_t N, int64_t *colmap, int64_t *coltag,
+    const int64_t *pos_off, int32_t *pos_base, std::complex<double> *val_base,
+    int32_t *src_base, const uint64_t *outp, int64_t *counts) {
+  plan_batches_all_impl(indptr, indices, data, pool, locpool, nbatch, meta,
+                        o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
+                        colmap, coltag, pos_off, pos_base, val_base, src_base,
+                        outp, counts);
+}
 
 int64_t plan_batch_f64(
     const int64_t *indptr, const int64_t *indices, const double *data,

@@ -64,6 +64,11 @@ class BatchPlan:
     int_ids: np.ndarray        # [B, ni_pad] global (permuted) DOF ids, sentinel N
     bnd_ids: np.ndarray        # [B, nb_pad] global (permuted) DOF ids, sentinel N
     levels: np.ndarray         # [B] reference recursion level (root = 1)
+    # [nnz] source index into A_perm.data (-1 for identity padding), or None.
+    # When present the numeric phase gathers the front values from a
+    # device-resident copy of A.data instead of shipping front_vals over the
+    # host link on every (re-)factorization.
+    front_src: Optional[np.ndarray] = None
     compress: bool = False     # this batch's fronts get compressed L/R (+HSS S)
     rank_cap: int = 0          # static low-rank cap for compressed batches
     # HSS output planning (compressed batches): this batch's Schur complements are
@@ -394,7 +399,7 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
 def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
                         m_pad, is_leaf_batch, compress, cplan, n1, n2, levels,
                         s_batch, s_row, batches, opts, N, bidx,
-                        pools=None) -> None:
+                        pools=None, deferred=None) -> None:
     """Plan one regular (dense or compressed-with-dense-children) batch: front COO
     gathers, extend-add maps, id/perm fills.  Appends the BatchPlan to ``batches``
     and records the nodes' Schur locations in ``s_batch``/``s_row``."""
@@ -422,10 +427,32 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
             branch = None
             sl_pad = sr_pad = 0
         lsum = loc.n_int[nodes] + loc.n_bnd[nodes]
-        front_pos, front_vals, int_ids, bnd_ids, sperm, map_l, map_r = \
-            plan_batch_native(gather, pool, o_int, o_bnd, niB, nb[:B0n],
-                              branch, locpool, loc_off[nodes], lsum, B0n, B,
-                              ni_pad, nb_pad, N, bound)
+        if deferred is not None:
+            # whole-plan consolidation: allocate the int32 map outputs here,
+            # record the request, and let plan_factorization issue ONE native
+            # call for every regular batch after the schedule loop (the COO
+            # views are patched into the BatchPlans then)
+            int_ids = np.empty((B, ni_pad), dtype=np.int32)
+            bnd_ids = np.empty((B, nb_pad), dtype=np.int32)
+            sperm = np.empty((B, nb_pad), dtype=np.int32)
+            if branch is not None:
+                map_l = np.empty((B, m_pad), dtype=np.int32)
+                map_r = np.empty((B, m_pad), dtype=np.int32)
+            else:
+                map_l = map_r = None
+            front_pos = front_vals = None
+            deferred.append({
+                "bidx": bidx, "pool": pool, "locpool": locpool,
+                "o_int": o_int, "o_bnd": o_bnd, "ni": niB, "nb": nb[:B0n],
+                "branch": branch, "lo": loc_off[nodes], "lsum": lsum,
+                "B0": B0n, "B": B, "ni_pad": ni_pad, "nb_pad": nb_pad,
+                "bound": bound, "int_ids": int_ids, "bnd_ids": bnd_ids,
+                "sperm": sperm, "map_l": map_l, "map_r": map_r})
+        else:
+            front_pos, front_vals, int_ids, bnd_ids, sperm, map_l, map_r = \
+                plan_batch_native(gather, pool, o_int, o_bnd, niB, nb[:B0n],
+                                  branch, locpool, loc_off[nodes], lsum, B0n,
+                                  B, ni_pad, nb_pad, N, bound)
         if B > B0:
             int_ids[B0:] = N
             bnd_ids[B0:] = N
@@ -830,6 +857,10 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
     s_batch = np.full(nn, -1, dtype=np.int64)
     s_row = np.full(nn, -1, dtype=np.int64)
     batches: List[BatchPlan] = []
+    # regular-batch requests accumulated for ONE consolidated native call after
+    # the schedule loop (the per-batch ctypes crossing + wrapper overhead was
+    # ~40% of schedule time at h=128)
+    deferred: Optional[list] = [] if (pools is not None and gather.ok) else None
 
     def _child_sig(kid: int):
         """HSS layout signature of a child's emitted Schur complement, or None if the
@@ -910,7 +941,17 @@ def plan_factorization(A: sp.spmatrix, tree: NDTree, opts: SolverOptions,
             _plan_regular_batch(
                 gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad, m_pad,
                 is_leaf_batch, compress, cplan, n1, n2, levels, s_batch, s_row,
-                batches, opts, N, bidx, pools)
+                batches, opts, N, bidx, pools, deferred)
+
+    if deferred:
+        from hsolve.native import plan_batches_all_native
+
+        for d, (fpos, fval, fsrc) in zip(
+                deferred, plan_batches_all_native(gather, deferred)):
+            bp = batches[d["bidx"]]
+            bp.front_pos = fpos
+            bp.front_vals = fval
+            bp.front_src = fsrc
 
     # consumption post-pass: keep HSS emission only where a structured batch (or the
     # HSS root solve) actually consumes it

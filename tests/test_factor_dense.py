@@ -156,3 +156,35 @@ def test_regular_planner_consolidated_matches_fallback(monkeypatch):
             np.asarray(bp.front_pos)[op], np.asarray(br.front_pos)[orf])
         np.testing.assert_allclose(bp.front_vals[op], br.front_vals[orf],
                                    rtol=1e-15)
+
+
+def test_front_src_device_resident_gather():
+    """The planner's ``front_src`` indices must reproduce ``front_vals`` from
+    the permuted CSR data (identity padding marked -1), and the numeric phase's
+    device-resident value-gather fast path (zero host->device value traffic per
+    re-factorization) must produce the same factorization as a direct solve."""
+    import hsolve
+    from hsolve.planner import plan_factorization
+
+    A, b, shape = hsolve.helmholtz2d(48, k=15.0)
+    tree = hsolve.nested_dissection(shape, leafmax=60)
+    opts = hsolve.SolverOptions(swlevel=0)
+    plan = plan_factorization(A, tree, opts)
+    data = plan.A_raw[2]
+    n_src = 0
+    for bp in plan.batches:
+        assert bp.front_src is not None
+        s = np.asarray(bp.front_src)
+        v = np.asarray(bp.front_vals)
+        np.testing.assert_array_equal(v[s >= 0], data[s[s >= 0]])
+        assert np.all(v[s < 0] == 1.0)
+        n_src += int((s >= 0).sum())
+    assert n_src == A.nnz  # every stored entry of A is sourced exactly once
+
+    F = hsolve.factor_with_plan(plan, opts, dtype=np.float64)
+    x = np.asarray(F.solve(b))
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+    # re-factorization exercises the cached device-resident program
+    x2 = np.asarray(hsolve.factor_with_plan(plan, opts,
+                                            dtype=np.float64).solve(b))
+    np.testing.assert_allclose(x2, x, rtol=1e-12, atol=1e-14)

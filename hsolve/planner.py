@@ -307,15 +307,44 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
             cnnz = np.zeros(len(pool_t) + 1, dtype=np.int64)
             np.cumsum(counts[pool_t], out=cnnz[1:])
         out_off0 = np.arange(B0, dtype=np.int64)
-        cross = {}
+        # ONE pooled COO gather for all 8 cross couplings: each name gets a
+        # disjoint flat-position space (base_n + b*r*c + i*c + j) and the
+        # emitted stream is name-major (blocks run in call order), so the
+        # per-name segments are recovered with one searchsorted pass.  The 8
+        # separate native calls per batch dominated compressed planning.
+        seg_rs, seg_rl, seg_cs, seg_cl, seg_off, seg_st = \
+            [], [], [], [], [], []
+        name_base = []
+        base = 0
+        bound = 0
         for name, rseg, cseg in _CROSS:
             r_, c_ = shapes[name]
             rs, rl = segs[rseg]
-            bound = int(np.sum(cnnz[rs + rl] - cnnz[rs]))
-            pos, vals = run_coo_pooled(
-                gather, pool_t, rs, rl, *segs[cseg], out_off0 * (r_ * c_),
-                np.full(B0, c_, dtype=np.int64), bound=bound)
-            cross[name] = _coo_to_strip(pos, vals, B, r_, c_)
+            cs2, cl2 = segs[cseg]
+            bound += int(np.sum(cnnz[rs + rl] - cnnz[rs]))
+            seg_rs.append(rs)
+            seg_rl.append(rl)
+            seg_cs.append(cs2)
+            seg_cl.append(cl2)
+            seg_off.append(base + out_off0 * (r_ * c_))
+            seg_st.append(np.full(B0, c_, dtype=np.int64))
+            name_base.append(base)
+            base += B0 * r_ * c_
+        pos_all, vals_all = run_coo_pooled(
+            gather, pool_t, np.concatenate(seg_rs), np.concatenate(seg_rl),
+            np.concatenate(seg_cs), np.concatenate(seg_cl),
+            np.concatenate(seg_off), np.concatenate(seg_st), bound=bound)
+        bases = np.asarray(name_base + [base], dtype=np.int64)
+        # entries are grouped by name in emission order; name_of_entry is
+        # non-decreasing, so the cuts come from one searchsorted each
+        name_idx = np.searchsorted(bases, pos_all, side="right") - 1
+        cuts = np.searchsorted(name_idx, np.arange(len(_CROSS) + 1))
+        cross = {}
+        for ni_, (name, _, _) in enumerate(_CROSS):
+            r_, c_ = shapes[name]
+            sl = slice(int(cuts[ni_]), int(cuts[ni_ + 1]))
+            cross[name] = _coo_to_strip(pos_all[sl] - name_base[ni_],
+                                        vals_all[sl], B, r_, c_)
     else:
         ni1 = np.zeros(B, dtype=np.int64)
         ni2 = np.zeros(B, dtype=np.int64)
@@ -390,6 +419,10 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         node_ids=nodes, is_leaf=False, ni_pad=h1 + h2, nb_pad=q1 + q2, ni=ni, nb=nb,
         batch_size=B, front_pos=np.zeros(0, dtype=np.int64),
         front_vals=np.zeros(0, dtype=A_dtype),
+        # structured batches draw their A-entries from the cross strips (staged
+        # as program constants), not from front_vals: an empty front_src keeps
+        # the whole-plan device-resident value gather eligible
+        front_src=np.zeros(0, dtype=np.int32),
         sperm=np.zeros((B, 0), dtype=np.int64), int_ids=int_ids, bnd_ids=bnd_ids,
         levels=lev_arr, compress=True, rank_cap=rank_cap, cplan=cplan, n1=n1, n2=n2,
         structured=True, cross=cross, smap=smap, child_cplans=child_cplans,

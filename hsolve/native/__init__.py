@@ -25,7 +25,8 @@ def _build() -> bool:
     for cc in ("c++", "g++", "cc"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                 _SRC, "-o", _LIB],
                 check=True, capture_output=True, timeout=120)
             return True
         except (subprocess.CalledProcessError, FileNotFoundError,

@@ -12,6 +12,8 @@
 
 #include <complex>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -742,8 +744,11 @@ static int64_t plan_batch_impl(
 // pos_off; the int32 map outputs are caller-allocated, their raw pointers in
 // the uint64 table `outp` (stride 5: int_ids, bnd_ids, sperm, map_l, map_r;
 // map entries 0 for leaf batches).  Emits each batch's COO count in `counts`.
+// Batches are independent (disjoint output regions), so they are round-robin
+// partitioned across a small thread pool; each extra worker gets its own
+// colmap/coltag scratch (the shared ones serve worker 0).
 template <typename T>
-static void plan_batches_all_impl(
+static void plan_batches_range(
     const int64_t *indptr, const int64_t *indices, const T *data,
     const int64_t *pool, const int64_t *locpool, int64_t nbatch,
     const int64_t *meta, const int64_t *o_int, const int64_t *o_bnd,
@@ -751,8 +756,9 @@ static void plan_batches_all_impl(
     const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
     const int64_t *lo, const int64_t *lsum, int64_t N, int64_t *colmap,
     int64_t *coltag, const int64_t *pos_off, int32_t *pos_base, T *val_base,
-    int32_t *src_base, const uint64_t *outp, int64_t *counts) {
-  for (int64_t b = 0; b < nbatch; ++b) {
+    int32_t *src_base, const uint64_t *outp, int64_t *counts, int64_t b0,
+    int64_t step) {
+  for (int64_t b = b0; b < nbatch; b += step) {
     const int64_t no = meta[b * 6 + 0];
     const int64_t B0 = meta[b * 6 + 1];
     const int64_t B = meta[b * 6 + 2];
@@ -769,6 +775,47 @@ static void plan_batches_all_impl(
         (int32_t *)op[1], (int32_t *)op[2], (int32_t *)op[3], (int32_t *)op[4],
         src_base ? src_base + pos_off[b] : nullptr);
   }
+}
+
+template <typename T>
+static void plan_batches_all_impl(
+    const int64_t *indptr, const int64_t *indices, const T *data,
+    const int64_t *pool, const int64_t *locpool, int64_t nbatch,
+    const int64_t *meta, const int64_t *o_int, const int64_t *o_bnd,
+    const int64_t *ni, const int64_t *nb, const int64_t *ni1,
+    const int64_t *ni2, const int64_t *nb1, const int64_t *nb2,
+    const int64_t *lo, const int64_t *lsum, int64_t N, int64_t *colmap,
+    int64_t *coltag, const int64_t *pos_off, int32_t *pos_base, T *val_base,
+    int32_t *src_base, const uint64_t *outp, int64_t *counts) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nw = (int64_t)(hw ? hw : 1);
+  if (nw > nbatch) nw = nbatch;
+  if (nw > 4) nw = 4;
+  if (nw <= 1) {
+    plan_batches_range(indptr, indices, data, pool, locpool, nbatch, meta,
+                       o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
+                       colmap, coltag, pos_off, pos_base, val_base, src_base,
+                       outp, counts, 0, 1);
+    return;
+  }
+  std::vector<std::vector<int64_t>> scratch(2 * (nw - 1));
+  std::vector<std::thread> workers;
+  for (int64_t w = 1; w < nw; ++w) {
+    std::vector<int64_t> &cm = scratch[2 * (w - 1)];
+    std::vector<int64_t> &ct = scratch[2 * (w - 1) + 1];
+    cm.assign((size_t)N, -1);
+    ct.assign((size_t)N, 0);
+    workers.emplace_back(plan_batches_range<T>, indptr, indices, data, pool,
+                         locpool, nbatch, meta, o_int, o_bnd, ni, nb, ni1,
+                         ni2, nb1, nb2, lo, lsum, N, cm.data(), ct.data(),
+                         pos_off, pos_base, val_base, src_base, outp, counts,
+                         w, nw);
+  }
+  plan_batches_range(indptr, indices, data, pool, locpool, nbatch, meta,
+                     o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
+                     colmap, coltag, pos_off, pos_base, val_base, src_base,
+                     outp, counts, 0, nw);
+  for (auto &t : workers) t.join();
 }
 
 extern "C" {

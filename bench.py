@@ -213,7 +213,10 @@ def main():
         for r in range(args.reps):
             t0 = time.perf_counter()
             F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
-            _sync(F.levels[-1].lu)
+            # barrier over EVERY output leaf (levels + root): blocking on a
+            # single leaf is not a barrier if that leaf is a pass-through of
+            # an input (round-4 microbench defect)
+            _sync((F.levels, F.root))
             dt = time.perf_counter() - t0
             first.setdefault("factor", dt)
             t_factor = min(t_factor, dt)
@@ -360,6 +363,12 @@ def main():
                                f32=on_tpu)
     log("roofline: " + json.dumps({k: v for k, v in roofline.items()
                                    if k != "per_level"}))
+    if roofline.get("sol_violation"):
+        log("ERROR: roofline physics violation - measured factor time is "
+            "faster than the model's speed-of-light bound (or achieved GF/s "
+            "exceeds the chip peak).  The FLOP model over-counts or the "
+            "timing barrier under-measures; this row is NOT a valid "
+            "performance result and is flagged in the artifact.")
     tag = f"_damp{args.damping:g}" if args.damping else ""
     if args.swlevel != 0:
         tag += f"_sw{args.swlevel}"
@@ -393,6 +402,8 @@ def main():
             "achieved_gflop_s": roofline["achieved_gflop_s"],
             "nnz_per_s": roofline["nnz_per_s"],
             "speed_of_light_s": roofline["speed_of_light_s"],
+            "sol_fraction": roofline["sol_fraction"],
+            "sol_violation": roofline["sol_violation"],
             "baseline_proxy": "scipy_splu_1core_seconds",
             "baseline_proxy_s": round(t_base, 4),
             # rep-0 wall times include jit compilation (cold start; warm-cache

@@ -589,8 +589,13 @@ def factor_with_plan(plan: Plan, opts: SolverOptions, dtype=None,
 
                     def _vals_of(inp):
                         ad, sf = inp
-                        ad = (ad[0] + 1j * ad[1]).astype(dtype) if iscx \
-                            else ad.astype(dtype)
+                        # the stacked [2, nnz] layout tracks the SOURCE matrix's
+                        # complexness, not the requested dtype: a real matrix
+                        # factored with a complex dtype ships flat real data and
+                        # casts here (the host vals path always supported that)
+                        if ad.ndim == 2:
+                            ad = ad[0] + 1j * ad[1]
+                        ad = ad.astype(dtype)
                         return jnp.where(sf >= 0, ad[jnp.clip(sf, 0)],
                                          jnp.ones((), dtype))
                 else:

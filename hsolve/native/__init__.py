@@ -591,8 +591,17 @@ def plan_batches_all_native(gather: "CsrGather", reqs):
     counts = np.empty(nb_, dtype=np.int64)
     if not hasattr(g, "_coltag"):
         g._coltag = np.zeros(g.ncols, dtype=np.int64)
+    # every regular batch references the one plan-level pooled symfact layout;
+    # the native call reads only reqs[0]'s pools, so differing per-request pools
+    # would silently corrupt the COO output
+    assert all(r["pool"] is reqs[0]["pool"] and
+               r["locpool"] is reqs[0]["locpool"] for r in reqs), \
+        "plan_batches_all_native requires one shared pool/locpool across requests"
     pool = np.ascontiguousarray(reqs[0]["pool"], dtype=np.int64)
     locpool = np.ascontiguousarray(reqs[0]["locpool"], dtype=np.int64)
+    # the int32 per-entry source indices cannot address nnz >= 2^31: skip
+    # emitting them (callers fall back to the host-shipped vals path)
+    emit_src = int(g.indptr[-1]) < 2 ** 31
     fn = _lib.plan_batches_all_c128 if g.iscomplex else \
         _lib.plan_batches_all_f64
     fn(*g.csr_ptrs, _pt(pool), _pt(locpool), nb_, _pt(meta),
@@ -600,11 +609,12 @@ def plan_batches_all_native(gather: "CsrGather", reqs):
        _pt(flat["nb"]), _pt(flat["ni1"]), _pt(flat["ni2"]), _pt(flat["nb1"]),
        _pt(flat["nb2"]), _pt(flat["lo"]), _pt(flat["lsum"]), gather.ncols,
        g.colmap_ptr, _pt(g._coltag), _pt(pos_off), _pt(pos), _pt(val),
-       _pt(src), _pt(outp), _pt(counts))
+       _pt(src) if emit_src else 0, _pt(outp), _pt(counts))
     out = []
     for i in range(nb_):
         o, c = int(pos_off[i]), int(counts[i])
-        out.append((pos[o:o + c], val[o:o + c], src[o:o + c]))
+        out.append((pos[o:o + c], val[o:o + c],
+                    src[o:o + c] if emit_src else None))
     return out
 
 

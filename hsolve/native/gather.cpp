@@ -800,21 +800,36 @@ static void plan_batches_all_impl(
   }
   std::vector<std::vector<int64_t>> scratch(2 * (nw - 1));
   std::vector<std::thread> workers;
-  for (int64_t w = 1; w < nw; ++w) {
-    std::vector<int64_t> &cm = scratch[2 * (w - 1)];
-    std::vector<int64_t> &ct = scratch[2 * (w - 1) + 1];
-    cm.assign((size_t)N, -1);
-    ct.assign((size_t)N, 0);
-    workers.emplace_back(plan_batches_range<T>, indptr, indices, data, pool,
-                         locpool, nbatch, meta, o_int, o_bnd, ni, nb, ni1,
-                         ni2, nb1, nb2, lo, lsum, N, cm.data(), ct.data(),
-                         pos_off, pos_base, val_base, src_base, outp, counts,
-                         w, nw);
+  int64_t spawned = 0;
+  // thread/scratch creation can throw (resource limits); this is an extern-C
+  // entry point, so an escaping exception would std::terminate the whole
+  // process - degrade to running the unspawned strides on the calling thread
+  try {
+    for (int64_t w = 1; w < nw; ++w) {
+      std::vector<int64_t> &cm = scratch[2 * (w - 1)];
+      std::vector<int64_t> &ct = scratch[2 * (w - 1) + 1];
+      cm.assign((size_t)N, -1);
+      ct.assign((size_t)N, 0);
+      workers.emplace_back(plan_batches_range<T>, indptr, indices, data, pool,
+                           locpool, nbatch, meta, o_int, o_bnd, ni, nb, ni1,
+                           ni2, nb1, nb2, lo, lsum, N, cm.data(), ct.data(),
+                           pos_off, pos_base, val_base, src_base, outp, counts,
+                           w, nw);
+      spawned = w;
+    }
+  } catch (...) {
   }
   plan_batches_range(indptr, indices, data, pool, locpool, nbatch, meta,
                      o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
                      colmap, coltag, pos_off, pos_base, val_base, src_base,
                      outp, counts, 0, nw);
+  // strides whose worker never spawned run here (colmap entries are reset at
+  // the end of every batch, so reusing the main scratch sequentially is safe)
+  for (int64_t w = spawned + 1; w < nw; ++w)
+    plan_batches_range(indptr, indices, data, pool, locpool, nbatch, meta,
+                       o_int, o_bnd, ni, nb, ni1, ni2, nb1, nb2, lo, lsum, N,
+                       colmap, coltag, pos_off, pos_base, val_base, src_base,
+                       outp, counts, w, nw);
   for (auto &t : workers) t.join();
 }
 

@@ -32,6 +32,11 @@ class LevelStats:
     flops: float          # factor-time floating point ops
     bytes_moved: float    # rough HBM traffic of the factor kernels
     solve_flops: float    # per right-hand side application
+    # share of ``flops`` spent in LU / triangular-solve kernels.  XLA's CPU
+    # cost_analysis reports 0 flops for the LAPACK custom calls these lower
+    # to, so model-vs-XLA validation compares ``flops - lapack_flops``
+    # (tests/test_aux.py); on TPU they are real HLO and count fully.
+    lapack_flops: float = 0.0
 
 
 def _dense_level_flops(B, ni, nb):
@@ -257,14 +262,20 @@ def analyze_plan(plan, dtype_bytes: int = 4) -> List[LevelStats]:
             flops = B * f1
             solve = B * s1
             kind = "structured"
+            # LU work on the structured path happens in [m, ls, ls] / [m, 2r, 2r]
+            # leaf blocks - a small share (the measured whole-program ratio vs
+            # XLA:CPU is ~1.0 with lapack=0 here)
+            lapack = 0.0
         elif bp.compress:
             flops = _compressed_level_flops(B, ni, nb, bp.rank_cap)
             solve = B * (2.0 * ni * ni + 4.0 * (ni + nb) * bp.rank_cap)
             kind = "compressed"
+            lapack = B * (_lu(1, ni) + 2.0 * ni * ni * bp.rank_cap * 2)
         else:
             flops = _dense_level_flops(B, ni, nb)
             solve = B * (2.0 * ni * ni + 4.0 * ni * nb)
             kind = "leaf" if bp.is_leaf else "dense"
+            lapack = B * (_lu(1, ni) + 2.0 * ni * ni * nb * 2)
         m = ni + nb
         if bp.structured:
             # no dense [m, m] buffer exists on the structured path: traffic is
@@ -277,7 +288,8 @@ def analyze_plan(plan, dtype_bytes: int = 4) -> List[LevelStats]:
         else:
             bytes_moved = B * (3.0 * m * m) * dtype_bytes
         out.append(LevelStats(kind=kind, B=B, ni_pad=ni, nb_pad=nb, flops=flops,
-                              bytes_moved=bytes_moved, solve_flops=solve))
+                              bytes_moved=bytes_moved, solve_flops=solve,
+                              lapack_flops=lapack))
     return out
 
 
@@ -303,11 +315,19 @@ def roofline_report(plan, measured_factor_s: float, device: str = "tpu",
         "gflops": round(s.flops / 1e9, 3),
         "sol_ms": round(max(s.flops / peak, s.bytes_moved / bw) * 1e3, 3),
     } for s in stats]
+    sol_fraction = sol_time / max(measured_factor_s, 1e-12)
+    achieved = total_flops / max(measured_factor_s, 1e-12)
+    # physics guard: a measurement faster than the model's own speed-of-light
+    # bound (sol_fraction > 1) or above the chip's peak means the FLOP model
+    # over-counts or the timing barrier under-measures - either way the row is
+    # not a result and must be flagged, never published as-is
+    violation = bool(sol_fraction > 1.0 or achieved > peak)
     return {
         "factor_gflops": round(total_flops / 1e9, 3),
-        "achieved_gflop_s": round(total_flops / max(measured_factor_s, 1e-12) / 1e9, 2),
+        "achieved_gflop_s": round(achieved / 1e9, 2),
         "speed_of_light_s": round(sol_time, 6),
-        "sol_fraction": round(sol_time / max(measured_factor_s, 1e-12), 4),
+        "sol_fraction": round(sol_fraction, 4),
+        "sol_violation": violation,
         "nnz_per_s": round(plan.nnz / max(measured_factor_s, 1e-12), 1),
         "per_level": per_level,
     }
@@ -411,6 +431,23 @@ def trace(logdir: str):
     return jax.profiler.trace(logdir)
 
 
+def _sync_reduce_builder():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _reduce(leaves):
+        acc = jnp.zeros((), jnp.float32)
+        for a in leaves:
+            acc = acc + jnp.sum(jnp.real(a.ravel()[:8]).astype(jnp.float32))
+        return acc
+
+    return _reduce
+
+
+_SYNC_REDUCE = [None]
+
+
 def device_sync(x) -> None:
     """Truthful device-completion barrier for timing.
 
@@ -418,19 +455,22 @@ def device_sync(x) -> None:
     LARGE buffer returns early (measured: a 13.7 TFLOP matmul chain "ready" in
     0.2ms while a dependent scalar reduction waited the true ~350ms).  Blocking
     on a tiny consumer of the output is the trustworthy barrier: the reduction
-    program can only run after its producer finished, and the device queue is
-    serial, so the scalar's readiness implies everything before it completed.
-    The extra reduction dispatch is a sub-ms constant that timing callers
-    charge to the measured phase (conservative)."""
-    import jax
-    import jax.numpy as jnp
+    program can only run after its producers finished.
 
-    leaf = None
-    for a in jax.tree_util.tree_leaves(x):
-        if hasattr(a, "ravel"):
-            leaf = a
-            break
-    if leaf is None:
+    The reduction consumes a tiny slice of EVERY array leaf (one jitted
+    program, so one dispatch): blocking on a single leaf is not a barrier when
+    that leaf happens to be a pass-through input of the producing program (the
+    round-4 HSS microbench blocked on ``HssSolver.D`` - an input - and
+    published factor times below the link's dispatch round-trip).  The extra
+    reduction dispatch is a sub-ms constant that timing callers charge to the
+    measured phase (conservative)."""
+    import jax
+
+    leaves = [a for a in jax.tree_util.tree_leaves(x)
+              if hasattr(a, "ravel") and getattr(a, "size", 0)]
+    if not leaves:
         jax.block_until_ready(x)
         return
-    jax.block_until_ready(jnp.sum(jnp.real(leaf.ravel()[:8])))
+    if _SYNC_REDUCE[0] is None:
+        _SYNC_REDUCE[0] = _sync_reduce_builder()
+    jax.block_until_ready(_SYNC_REDUCE[0](leaves))

@@ -86,6 +86,18 @@ def main():
     ap.add_argument("--swsize", type=int, default=1)
     ap.add_argument("--atol", type=float, default=None,
                     help="compression tolerance (default: SolverOptions default)")
+    ap.add_argument("--kest", type=int, default=None,
+                    help="rank estimate (reference kest, rungmres.jl:21): sets the "
+                         "planner's static rank caps to kest + stepsize")
+    ap.add_argument("--rank-cap", type=int, default=None,
+                    help="hard static rank cap override")
+    ap.add_argument("--level-caps", default=None,
+                    help="comma-separated per-tree-level rank caps, root first "
+                         "(from scripts/rankcal.py); last entry extends deeper")
+    ap.add_argument("--sprec", default=None,
+                    choices=["default", "high", "highest"],
+                    help="matmul precision for the structured (HSS) kernels "
+                         "(None inherits --atol-appropriate default: highest)")
     ap.add_argument("--reltol", type=float, default=1e-9)
     ap.add_argument("--maxiter", type=int, default=60)
     ap.add_argument("--damping", type=float, default=0.0,
@@ -161,6 +173,15 @@ def main():
     opts = hsolve.SolverOptions(swlevel=args.swlevel, swsize=args.swsize)
     if args.atol is not None:
         opts = opts.replace(atol=args.atol, rtol=args.atol)
+    if args.kest is not None:
+        opts = opts.replace(kest=args.kest)
+    if args.rank_cap is not None:
+        opts = opts.replace(rank_cap=args.rank_cap)
+    if args.level_caps is not None:
+        opts = opts.replace(level_caps=tuple(
+            int(c) for c in args.level_caps.split(",")))
+    if args.sprec is not None:
+        opts = opts.replace(structured_precision=args.sprec)
     if args.explicit_inverse is not None:
         opts = opts.replace(explicit_inverse=args.explicit_inverse == "1")
 
@@ -374,6 +395,14 @@ def main():
         tag += f"_sw{args.swlevel}"
         if args.atol is not None:
             tag += f"_tol{args.atol:g}"
+        if args.kest is not None:
+            tag += f"_k{args.kest}"
+        if args.rank_cap is not None:
+            tag += f"_cap{args.rank_cap}"
+        if args.level_caps is not None:
+            tag += "_lc" + args.level_caps.replace(",", "-")
+        if args.sprec is not None:
+            tag += f"_{args.sprec}"
     result = {
         "metric": f"{args.problem}_h{args.n}{tag}_setup_plus_gmres_solve",
         "value": round(best_total, 4),

@@ -405,16 +405,21 @@ class SampleOps(NamedTuple):
 
 def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
                            atol: float, rtol: float, cap: int):
-    """One pass of the partially-matrix-free interpolative HSS construction.
+    """One pass of the randomized telescoping interpolative HSS construction
+    (parity with HssMatrices ``randcompress``, the reference's compressor at
+    factorization.jl:110).
 
-    The random sketch is used ONLY to discover the leaf row/column bases (one level,
-    no error compounding); every upper level re-extracts the *exact* selected
-    rows/columns through ``ops.blocks`` and re-runs the interpolative decomposition
-    on exact data, exactly like the dense compressor - so the constructed HSS matches
-    :func:`hss_compress_dense` quality at O(n r log n) entry evaluations instead of
-    O(n^2).  (A previous variant propagated sketch residuals upward; the per-level
-    subtraction noise compounded geometrically through the factorization chain and
-    dominated the compressed-preconditioner error.)"""
+    Leaf bases come from interpolative decomposition of the sketch residual
+    ``Y - D Om`` (exact diagonal blocks).  Upper levels run the standard
+    telescoping recursion: the candidate row panel of a node is its children's
+    *selected sketch-residual rows* minus the (just-extracted, exact)
+    sibling-coupling action ``Uloc B12 (V^T Om)`` - all r x s / r x r algebra,
+    never an exact n-wide panel.  Couplings ``B12/B21`` are still extracted
+    exactly through ``ops.blocks``.  Per-node cost is O(r^2 s) at every level,
+    making the whole construction O(n r s) - the previous exact-panel variant
+    extracted ``[2r, n]`` blocks per node per level, an O(n^2 r^2 / ls) term
+    that grew the compressed factorization back to dense-path scaling
+    (round-5 scaling fix; model mirror: profiling._randcompress_flops)."""
     p = plan
     nl, ls, n = p.nleaves, p.ls, p.n_pad
     kO, kP = jax.random.split(key)
@@ -441,10 +446,22 @@ def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
     maxed = jnp.maximum(jnp.max(rku), jnp.max(rkv))
 
     offs = (jnp.arange(nl) * ls)[:, None]
-    Jg = jnp.where(J_loc >= 0, J_loc, 0) + offs
-    Kg = jnp.where(K_loc >= 0, K_loc, 0) + offs
+    Jc = jnp.where(J_loc >= 0, J_loc, 0)
+    Kc = jnp.where(K_loc >= 0, K_loc, 0)
+    Jg = Jc + offs
+    Kg = Kc + offs
 
-    all_idx = jnp.arange(n)
+    # telescoped per-node state ([m, ...] at the current level):
+    # Ysel/Zsel: sketch residual restricted to the selected rows/cols;
+    # Uloc/Vloc: the telescoped basis restricted to the selected rows/cols;
+    # OmP/PsP:   V^T Om / U^T Ps over the node's span
+    Ysel = jnp.take_along_axis(Yl, Jc[:, :, None], axis=1)       # [nl, r, s]
+    Zsel = jnp.take_along_axis(Zl, Kc[:, :, None], axis=1)
+    Uloc = jnp.take_along_axis(U, Jc[:, :, None], axis=1)        # [nl, r, r]
+    Vloc = jnp.take_along_axis(V, Kc[:, :, None], axis=1)
+    OmP = jnp.swapaxes(V, -1, -2) @ Oml                   # [nl, r, s]
+    PsP = jnp.swapaxes(U, -1, -2) @ Psl
+
     Rs, Ws, B12s, B21s = [], [], [], []
     for lev in range(1, p.depth + 1):
         m = nl >> lev
@@ -458,24 +475,43 @@ def _hss_randcompress_once(ops: SampleOps, plan: ClusterPlan, key, s: int,
             Rs.append(jnp.zeros((2, r, r), dtype=dtype))
             Ws.append(jnp.zeros((2, r, r), dtype=dtype))
             break
-        blk = n // (2 * m)
-        node_col0 = (jnp.arange(m) * (2 * blk))[:, None]
-        outside = (all_idx[None, :] < node_col0) | \
-            (all_idx[None, :] >= node_col0 + 2 * blk)            # [m, n]
-        omask = outside[:, None, :].astype(dtype)
-        # exact selected rows / columns, own-node span zeroed
-        J2 = Jg.reshape(m, 2 * r)
-        rows_ex = jax.vmap(lambda rw: ops.blocks(rw, all_idx))(J2) * omask
-        Jsel, T, rkt = jax.vmap(lambda M: interp_decomp(M, atol, rtol, cap))(rows_ex)
-        K2 = Kg.reshape(m, 2 * r)
-        cols_ex = jnp.swapaxes(
-            jax.vmap(lambda cl: ops.blocks(all_idx, cl))(K2), -1, -2) * omask
-        Ksel, Tw, rkw = jax.vmap(lambda M: interp_decomp(M, atol, rtol, cap))(cols_ex)
+        pair = lambda A: A.reshape(m, 2, *A.shape[1:])
+        Y1, Y2 = pair(Ysel)[:, 0], pair(Ysel)[:, 1]
+        Z1, Z2 = pair(Zsel)[:, 0], pair(Zsel)[:, 1]
+        U1, U2 = pair(Uloc)[:, 0], pair(Uloc)[:, 1]
+        V1, V2 = pair(Vloc)[:, 0], pair(Vloc)[:, 1]
+        O1, O2 = pair(OmP)[:, 0], pair(OmP)[:, 1]
+        P1, P2 = pair(PsP)[:, 0], pair(PsP)[:, 1]
+        B12t = jnp.swapaxes(B12, -1, -2)
+        B21t = jnp.swapaxes(B21, -1, -2)
+        # candidate panels = selected child residuals minus the (exact)
+        # sibling-coupling action: what remains is this node's off-diagonal
+        # row/column space sampled by the sketch
+        Yp = jnp.concatenate([Y1 - U1 @ (B12 @ O2),
+                              Y2 - U2 @ (B21 @ O1)], axis=1)     # [m, 2r, s]
+        Zp = jnp.concatenate([Z1 - V1 @ (B21t @ P2),
+                              Z2 - V2 @ (B12t @ P1)], axis=1)
+        Jsel, T, rkt = jax.vmap(lambda M: interp_decomp(M, atol, rtol, cap))(Yp)
+        Ksel, Tw, rkw = jax.vmap(lambda M: interp_decomp(M, atol, rtol, cap))(Zp)
         maxed = jnp.maximum(maxed, jnp.maximum(jnp.max(rkt), jnp.max(rkw)))
         Rs.append(T.reshape(m, 2, r, r).reshape(2 * m, r, r))
         Ws.append(Tw.reshape(m, 2, r, r).reshape(2 * m, r, r))
-        Jg = jnp.take_along_axis(J2, jnp.where(Jsel >= 0, Jsel, 0), axis=1)
-        Kg = jnp.take_along_axis(K2, jnp.where(Ksel >= 0, Ksel, 0), axis=1)
+        Jsc = jnp.where(Jsel >= 0, Jsel, 0)
+        Ksc = jnp.where(Ksel >= 0, Ksel, 0)
+        Jg = jnp.take_along_axis(Jg.reshape(m, 2 * r), Jsc, axis=1)
+        Kg = jnp.take_along_axis(Kg.reshape(m, 2 * r), Ksc, axis=1)
+        # parent state: candidate-row basis blockdiag(U1, U2) @ T restricted to
+        # the selection; projections combine through the new translations
+        Tt, Tb = T[:, :r, :], T[:, r:, :]
+        Wt, Wb = Tw[:, :r, :], Tw[:, r:, :]
+        Ucand = jnp.concatenate([U1 @ Tt, U2 @ Tb], axis=1)      # [m, 2r, r]
+        Vcand = jnp.concatenate([V1 @ Wt, V2 @ Wb], axis=1)
+        Uloc = jnp.take_along_axis(Ucand, Jsc[:, :, None], axis=1)
+        Vloc = jnp.take_along_axis(Vcand, Ksc[:, :, None], axis=1)
+        Ysel = jnp.take_along_axis(Yp, Jsc[:, :, None], axis=1)
+        Zsel = jnp.take_along_axis(Zp, Ksc[:, :, None], axis=1)
+        OmP = jnp.swapaxes(Wt, -1, -2) @ O1 + jnp.swapaxes(Wb, -1, -2) @ O2
+        PsP = jnp.swapaxes(Tt, -1, -2) @ P1 + jnp.swapaxes(Tb, -1, -2) @ P2
 
     h = Hss(D=D, U=U, V=V, Rs=Rs, Ws=Ws, B12s=B12s, B21s=B21s, plan=p)
     return h, maxed

@@ -29,13 +29,28 @@ class SolverOptions:
 
     # --- TPU-native extensions (static-shape planning) ---
     pad: int = 8              # pad front dims (ni, nb) up to multiples of this
-    rank_cap: int = 0         # static max rank for low-rank/HSS blocks (0 = planner decides)
+    rank_cap: int = 0         # static max rank for low-rank/HSS blocks (0 = planner
+                              # decides: from kest when kest > 0 - the reference's
+                              # user-provided rank estimate (factorization.jl:102-104,
+                              # rungmres.jl:21 kest=200) - else boundary/4)
     rank_pad: int = 8         # pad ranks up to multiples of this
+    # Per-tree-level rank caps, indexed by reference recursion level (root = 1,
+    # level_caps[0] caps the root level; the LAST entry extends to all deeper
+    # levels).  Overrides rank_cap/kest where set.  Separator interaction ranks
+    # fall quickly below the top levels, and every structured-kernel shape
+    # scales with cap^2 - calibrate with scripts/rankcal.py (the per-problem
+    # analog of the reference's kest knob, rungmres.jl:21).
+    level_caps: Optional[tuple] = None
     dtype: Optional[str] = None  # "float32" | "float64" | "complex64" | "complex128" | None (infer)
     # TPU matmuls default to bfloat16 passes; "highest" keeps f32 kernels at full
     # f32 accuracy (required for exact-mode parity), "default" trades accuracy for
     # ~3-6x MXU throughput (fine for loose-tolerance preconditioners).
     matmul_precision: str = "highest"
+    # Matmul precision for the STRUCTURED (HSS) kernels only; None inherits
+    # matmul_precision.  "high" (3-pass bf16, ~1e-6 element error) doubles MXU
+    # throughput of the compressed path and sits well below compression
+    # tolerances >= 1e-4; the exact/dense path keeps matmul_precision.
+    structured_precision: Optional[str] = None
     seed: int = 123           # PRNG seed for randomized compression (rungmres.jl:7)
     hss: bool = True          # emit HSS Schur complements on compressed levels
                               # (False = low-rank Gauss transforms only, dense S)

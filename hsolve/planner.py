@@ -209,6 +209,28 @@ def _coo_to_strip(pos: np.ndarray, vals: np.ndarray, B: int, r: int, c: int,
             "rcap": rcap, "r": r, "c": c}
 
 
+def _cap_rule(opts: SolverOptions, dim: int, lev: Optional[int] = None) -> int:
+    """Static rank cap for a compressed batch whose relevant dimension is ``dim``
+    at reference recursion level ``lev`` (root = 1).
+
+    ``level_caps`` wins when set (per-level calibrated caps, scripts/rankcal.py);
+    then ``rank_cap``; then ``kest > 0`` - the reference's user-provided rank
+    estimate for the randomized compression (factorization.jl:102-104; canonical
+    config kest=200, rungmres.jl:21) - with one ``stepsize`` of headroom (the
+    reference grows its sample budget in ``stepsize`` steps).  The ``dim // 4``
+    fallback is a generous over-provision for unknown problems: pair it with
+    ``opts.adaptive`` or calibrate - oversized caps inflate every
+    structured-kernel shape with cap^2 and destroy the quasilinear scaling the
+    compressed path exists for."""
+    if opts.level_caps and lev is not None and lev >= 1:
+        return int(opts.level_caps[min(lev - 1, len(opts.level_caps) - 1)])
+    if opts.rank_cap > 0:
+        return opts.rank_cap
+    if opts.kest > 0:
+        return opts.kest + max(opts.stepsize, 0)
+    return max(dim // 4, 32)
+
+
 def cross_block_shapes(child_cplans) -> Dict[str, Tuple[int, int]]:
     """Per-node (rows, cols) of the 8 cross-coupling blocks of a structured batch,
     in child-aligned coordinates."""
@@ -411,7 +433,7 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
     cross["ni2"] = ni2
     cross["nb1"] = nb1
     cross["nb2"] = nb2
-    cap = opts.rank_cap if opts.rank_cap > 0 else max((q1 + q2) // 4, 32)
+    cap = _cap_rule(opts, q1 + q2, int(levels[nodes].min()))
     rank_cap = min(h1 + h2, q1 + q2, _round_up(cap, opts.rank_pad))
     lev_arr = np.zeros(B, dtype=np.int64)
     lev_arr[:B0] = levels[nodes]
@@ -512,7 +534,7 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
         lev_arr[:B0] = levels[nodes]
         rank_cap = 0
         if compress and nb_pad > 0:
-            cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
+            cap = _cap_rule(opts, nb_pad, int(levels[nodes].min()))
             rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
         batches.append(BatchPlan(
             node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad,
@@ -781,7 +803,7 @@ def _plan_regular_batch(gather, tree, loc, nodes, B, B0, ni, nb, ni_pad, nb_pad,
     lev_arr[:B0] = levels[nodes]
     rank_cap = 0
     if compress and nb_pad > 0:
-        cap = opts.rank_cap if opts.rank_cap > 0 else max(nb_pad // 4, 32)
+        cap = _cap_rule(opts, nb_pad, int(levels[nodes].min()))
         rank_cap = min(ni_pad, nb_pad, _round_up(cap, opts.rank_pad))
     batches.append(BatchPlan(
         node_ids=nodes, is_leaf=is_leaf_batch, ni_pad=ni_pad, nb_pad=nb_pad,

@@ -216,17 +216,39 @@ def structured_factor_batch(sh1: SchurHss, sh2: SchurHss, cross: dict,
     return _structured_factor_jit(
         sh1, sh2, cross, smap, n1, n2, int_ids, bnd_ids, key, cplan=cplan,
         rank_cap=rank_cap, atol=opts.atol, rtol=opts.rtol,
-        kest=opts.kest, stepsize=opts.stepsize)
+        kest=opts.kest, stepsize=opts.stepsize,
+        sprec=opts.structured_precision)
 
 
 @partial(jax.jit, static_argnames=("cplan", "rank_cap", "atol", "rtol",
-                                   "kest", "stepsize"))
+                                   "kest", "stepsize", "sprec"))
 def _structured_factor_jit(sh1: SchurHss, sh2: SchurHss, cross: dict,
                            smap: jax.Array, n1: jax.Array, n2: jax.Array,
                            int_ids, bnd_ids, key, *, cplan: ClusterPlan,
                            rank_cap: int, atol: float, rtol: float,
-                           kest: int,
-                           stepsize: int) -> Tuple[StructuredLevel, SchurHss]:
+                           kest: int, stepsize: int,
+                           sprec: Optional[str] = None
+                           ) -> Tuple[StructuredLevel, SchurHss]:
+    if sprec:
+        # structured-only precision override: bind every matmul traced in this
+        # kernel to ``sprec`` (e.g. 'high' = 3-pass bf16) while the dense path
+        # keeps the global opts.matmul_precision
+        with jax.default_matmul_precision(sprec):
+            return _structured_factor_body(
+                sh1, sh2, cross, smap, n1, n2, int_ids, bnd_ids, key,
+                cplan=cplan, rank_cap=rank_cap, atol=atol, rtol=rtol,
+                kest=kest, stepsize=stepsize)
+    return _structured_factor_body(
+        sh1, sh2, cross, smap, n1, n2, int_ids, bnd_ids, key, cplan=cplan,
+        rank_cap=rank_cap, atol=atol, rtol=rtol, kest=kest, stepsize=stepsize)
+
+
+def _structured_factor_body(sh1: SchurHss, sh2: SchurHss, cross: dict,
+                            smap: jax.Array, n1: jax.Array, n2: jax.Array,
+                            int_ids, bnd_ids, key, *, cplan: ClusterPlan,
+                            rank_cap: int, atol: float, rtol: float,
+                            kest: int,
+                            stepsize: int) -> Tuple[StructuredLevel, SchurHss]:
     cpl, cpr = sh1.cplan, sh2.cplan
     h1, h2 = cpl.half, cpr.half
     q1, q2 = cpl.n_pad - cpl.half, cpr.n_pad - cpr.half

@@ -145,20 +145,25 @@ def _interp_decomp_flops(a, b, cap):
 
 
 def _randcompress_flops(n, ls, r, d, s, sample_flops, entry_flops):
-    """_hss_randcompress_once: 2 sketches, leaf D extraction + local bases, then per
-    level exact selected rows/cols + interpolative re-decomposition."""
+    """_hss_randcompress_once (telescoping sketch-residual scheme): 2 sketches,
+    leaf D extraction + leaf IDs, then per level exact [r, r] couplings +
+    r x s / r x r panel algebra + interpolative decomposition of [2r, s]
+    candidate panels (O(n r s) total - no n-wide panels)."""
     nl = max(n // max(ls, 1), 1)
     f = 2 * sample_flops(s)
     f += nl * entry_flops(ls, ls)                    # leaf D blocks
     f += 2 * _gemm(nl, ls, ls, s)                    # Y -= D Om (both sides)
     f += 2 * nl * _interp_decomp_flops(ls, s, r)
+    f += 2 * _gemm(nl, r, ls, s)                     # leaf OmP / PsP projections
     for lev in range(1, d + 1):
         m = max(nl >> lev, 1)
         f += 2 * m * entry_flops(r, r)               # B12/B21 exact blocks
         if lev == d:
             break
-        f += m * (entry_flops(2 * r, n) + entry_flops(n, 2 * r))
-        f += 2 * m * _interp_decomp_flops(2 * r, n, r)
+        # candidate panels (8 r x r x s GEMMs), projection updates (4), basis
+        # updates (4 r x r x r), two [2r, s] IDs
+        f += m * (12 * _gemm(1, r, r, s) + 4 * _gemm(1, r, r, r))
+        f += 2 * m * _interp_decomp_flops(2 * r, s, r)
     return f
 
 
@@ -309,11 +314,22 @@ def roofline_report(plan, measured_factor_s: float, device: str = "tpu",
     total_flops = sum(s.flops for s in stats)
     peak = TPU_V5E_PEAKS["f32_flops" if f32 else "bf16_flops"]
     bw = TPU_V5E_PEAKS["hbm_gbps"]
-    sol_time = sum(max(s.flops / peak, s.bytes_moved / bw) for s in stats)
+    # structured levels may run at a reduced matmul precision (fewer bf16
+    # passes -> proportionally higher peak); account per level so the SoL
+    # bound matches what the compiled program actually does
+    sprec = getattr(getattr(plan, "opts", None), "structured_precision", None)
+    smul = {"high": 2.0, "default": 6.0}.get(sprec, 1.0) if f32 else 1.0
+
+    def lvl_peak(s):
+        return peak * (smul if s.kind == "structured" else 1.0)
+
+    sol_time = sum(max(s.flops / lvl_peak(s), s.bytes_moved / bw)
+                   for s in stats)
     per_level = [{
         "kind": s.kind, "B": s.B, "front": [s.ni_pad, s.nb_pad],
         "gflops": round(s.flops / 1e9, 3),
-        "sol_ms": round(max(s.flops / peak, s.bytes_moved / bw) * 1e3, 3),
+        "sol_ms": round(max(s.flops / lvl_peak(s), s.bytes_moved / bw) * 1e3,
+                        3),
     } for s in stats]
     sol_fraction = sol_time / max(measured_factor_s, 1e-12)
     achieved = total_flops / max(measured_factor_s, 1e-12)
@@ -321,7 +337,9 @@ def roofline_report(plan, measured_factor_s: float, device: str = "tpu",
     # bound (sol_fraction > 1) or above the chip's peak means the FLOP model
     # over-counts or the timing barrier under-measures - either way the row is
     # not a result and must be flagged, never published as-is
-    violation = bool(sol_fraction > 1.0 or achieved > peak)
+    peak_eff = peak * (smul if any(s.kind == "structured" for s in stats)
+                       else 1.0)
+    violation = bool(sol_fraction > 1.0 or achieved > peak_eff)
     return {
         "factor_gflops": round(total_flops / 1e9, 3),
         "achieved_gflop_s": round(achieved / 1e9, 2),

@@ -149,6 +149,15 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+    if dev.platform != "cpu":
+        # flip the axon transport into synchronous (truthful-fetch) mode NOW:
+        # block_until_ready is not a completion barrier in the default async
+        # mode, and the flip is ~20x cheaper at process start than later
+        from hsolve.utils.profiling import enable_sync_timing
+
+        t0 = time.perf_counter()
+        enable_sync_timing()
+        log(f"sync-timing mode enabled in {time.perf_counter() - t0:.1f}s")
 
     gen = {"helmholtz2d": lambda: hsolve.helmholtz2d(args.n, k=args.k,
                                                      damping=args.damping),
@@ -198,9 +207,9 @@ def main():
     gc.freeze()  # keep gen-2 scans of the jax/module heap out of the hot host loops
 
     def measure():
-        """Component-wise @btime protocol, matching the reference's benchmark
-        (runbenchmarks.jl:38,41 times `factor` and `solve!` as separate @btime
-        minima, i.e. minimum over CONSECUTIVE evaluations of each phase).
+        """Component-wise timing protocol, matching the reference's benchmark
+        (runbenchmarks.jl:38,41 times `factor` and `solve!` as separate
+        consecutive-evaluation loops).
 
         Phase split per the reference's protocol boundary: rungmres.jl times
         `factor` (rungmres.jl:32,39) AFTER symfact/postorder/permute ran outside
@@ -209,8 +218,18 @@ def main():
         (batch building + the A[I,J] gather maps) replaces work the reference's
         timed factor redoes per call via sparse getindex, so it counts toward
         the headline.  The first evaluation of each device phase carries jit
-        compilation and is excluded by the minimum (the compiled program is
-        reusable across factorizations - standard accelerator accounting)."""
+        compilation and is excluded (the compiled program is reusable across
+        factorizations - standard accelerator accounting).
+
+        Device phases use the TRUTHFUL fetch protocol (utils.profiling): the
+        transport is flipped to sync mode up front, each phase dispatches
+        ``reps`` times back-to-back and fetch-syncs ONCE, and the calibrated
+        per-sync constant is subtracted - block_until_ready is not a
+        completion barrier on this transport (round-5 finding), so per-rep
+        "best-of" barrier timings are not measurable; the amortized mean over
+        consecutive evaluations is what we report."""
+        from hsolve.utils.profiling import time_phase, timing_overhead
+
         t_sym = t_sched = float("inf")
         plan = None
         first = {}
@@ -229,31 +248,29 @@ def main():
                 plan = p
         log(f"  plan: sym={t_sym*1e3:.1f}ms sched={t_sched*1e3:.1f}ms")
 
-        t_factor = float("inf")
-        F = None
-        for r in range(args.reps):
-            t0 = time.perf_counter()
-            F = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
-            # barrier over EVERY output leaf (levels + root): blocking on a
-            # single leaf is not a barrier if that leaf is a pass-through of
-            # an input (round-4 microbench defect)
-            _sync((F.levels, F.root))
-            dt = time.perf_counter() - t0
-            first.setdefault("factor", dt)
-            t_factor = min(t_factor, dt)
-        log(f"  factor(numeric): best={t_factor*1e3:.1f}ms "
+        over = timing_overhead() if on_tpu else 0.0
+        log(f"  per-sync overhead: {over*1e3:.2f}ms (subtracted, amortized "
+            f"over {args.reps} reps)")
+
+        holder = {}
+
+        def run_factor():
+            holder["F"] = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
+            return (holder["F"].levels, holder["F"].root)
+
+        t0 = time.perf_counter()
+        _sync(run_factor())
+        first["factor"] = time.perf_counter() - t0
+        t_factor, _ = time_phase(run_factor, args.reps, over)
+        F = holder["F"]
+        log(f"  factor(numeric): {t_factor*1e3:.1f}ms/rep "
             f"cold={first['factor']:.3f}s")
 
-        t_solve = float("inf")
-        x = None
-        info = None
-        for r in range(args.reps):
-            t0 = time.perf_counter()
+        def run_solve():
             # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native) with a
             # fused outer-precision escalation phase, f64 solution/residual
-            # accumulation and convergence tests.  fetch_info=False: the solve
-            # ends when x is ready on device; the diagnostics fetch (a multi-
-            # SECOND round-trip on this remote-attached TPU link) is deferred.
+            # accumulation and convergence tests.  fetch_info=False: the
+            # diagnostics stay on device; they are fetched once after timing.
             x, info = hsolve.gmres_compiled(
                 mv_fn, m_fn, bj, reltol=args.reltol, restart=30,
                 maxiter=args.maxiter, mv_data=op_outer, M_data=F.solve_data,
@@ -261,11 +278,15 @@ def main():
                 mv_data_inner=op_inner if on_tpu else None,
                 m_eps=1e-6 if on_tpu else 0.0,
                 fetch_info=False)
-            _sync(x)
-            dt = time.perf_counter() - t0
-            first.setdefault("solve", dt)
-            t_solve = min(t_solve, dt)
-        log(f"  solve: best={t_solve*1e3:.2f}ms cold={first['solve']:.3f}s")
+            holder["xi"] = (x, info)
+            return x
+
+        t0 = time.perf_counter()
+        _sync(run_solve())
+        first["solve"] = time.perf_counter() - t0
+        t_solve, _ = time_phase(run_solve, args.reps, over)
+        x, info = holder["xi"]
+        log(f"  solve: {t_solve*1e3:.2f}ms/rep cold={first['solve']:.3f}s")
 
         # device-side diagnostics (outside the timers): true residual of the
         # f64 outer system, iteration count, and the max pivot diag ratio
@@ -305,9 +326,8 @@ def main():
         bj = jnp.asarray(b, dtype=gdtype)
         mv_fn, m_fn, idtype = _mv, _precond, np.dtype(half).name
 
-    # run all timed phases BEFORE any device->host data fetch: on the axon-
-    # tunneled TPU the first fetch permanently switches the session into a
-    # synchronous mode where every blocking call pays ~25ms
+    # the transport is already in sync mode (enable_sync_timing above): every
+    # phase barrier inside measure() is an honest data fetch
     t_sym, t_sched, t_factor, t_solve, diag_dev, cond_thresh, first = measure()
 
     # --- fetch the device diagnostics NOW, while the link is fresh.  The

@@ -467,22 +467,30 @@ _SYNC_REDUCE = [None]
 
 
 def device_sync(x) -> None:
-    """Truthful device-completion barrier for timing.
+    """Truthful device-completion barrier for timing: reduce-probe + DATA FETCH.
 
-    On remote-attached (axon-tunneled) TPUs, ``jax.block_until_ready`` on a
-    LARGE buffer returns early (measured: a 13.7 TFLOP matmul chain "ready" in
-    0.2ms while a dependent scalar reduction waited the true ~350ms).  Blocking
-    on a tiny consumer of the output is the trustworthy barrier: the reduction
-    program can only run after its producers finished.
+    ``jax.block_until_ready`` is NOT a completion barrier on the axon
+    (remote-attached TPU) transport in its default async mode - measured this
+    round: a 1.1 TFLOP matmul chain (~36ms of real device time, confirmed by
+    fetch) reported "ready" in 0.1ms, including through a dependent scalar
+    reduction.  The only trustworthy completion signal is an actual
+    device->host DATA FETCH of a value computed from the outputs: real bytes
+    cannot arrive before the producer ran.
 
-    The reduction consumes a tiny slice of EVERY array leaf (one jitted
-    program, so one dispatch): blocking on a single leaf is not a barrier when
-    that leaf happens to be a pass-through input of the producing program (the
-    round-4 HSS microbench blocked on ``HssSolver.D`` - an input - and
-    published factor times below the link's dispatch round-trip).  The extra
-    reduction dispatch is a sub-ms constant that timing callers charge to the
-    measured phase (conservative)."""
+    The probe reduces a tiny slice of EVERY array leaf in one jitted program
+    (a single leaf may be a pass-through input of the producing program) and
+    the scalar is fetched with ``device_get``.
+
+    Protocol notes (measured 2026-08-20): the FIRST fetch of a session flips
+    the axon transport into a synchronous mode (one-time ~94s at process
+    start, several minutes later in a session) - benchmarks call
+    :func:`enable_sync_timing` up front.  After the flip, a fetch of
+    already-materialized data costs ~0.1ms, and a single dispatch+fetch
+    sample carries a ~20-25ms constant overhead - time K back-to-back
+    dispatches and fetch ONCE (:func:`time_phase`) to amortize it."""
     import jax
+
+    import numpy as _np
 
     leaves = [a for a in jax.tree_util.tree_leaves(x)
               if hasattr(a, "ravel") and getattr(a, "size", 0)]
@@ -491,4 +499,55 @@ def device_sync(x) -> None:
         return
     if _SYNC_REDUCE[0] is None:
         _SYNC_REDUCE[0] = _sync_reduce_builder()
-    jax.block_until_ready(_SYNC_REDUCE[0](leaves))
+    _np.asarray(jax.device_get(_SYNC_REDUCE[0](leaves)))
+
+
+def enable_sync_timing() -> None:
+    """Flip the remote transport into synchronous (truthful-fetch) mode NOW.
+
+    One-time cost (~1.5 min on the axon link when called at process start,
+    much more later); afterwards every ``device_sync`` is an honest barrier
+    with ~0.1ms fetch overhead on materialized data.  No-op cost on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    _np.asarray(jax.device_get(jnp.zeros(()) + 1.0))
+
+
+def timing_overhead(reps: int = 5) -> float:
+    """Measured per-sample constant of a dispatch+probe+fetch cycle (seconds):
+    subtract from single-shot samples, or amortize via :func:`time_phase`."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((4,))
+    f = jax.jit(lambda a: a + 1.0)
+    device_sync(f(one))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        device_sync(f(one))
+        best = min(best, _time.perf_counter() - t0)
+    return best
+
+
+def time_phase(fn, reps: int, overhead: float = 0.0):
+    """Amortized truthful phase timer: dispatch ``fn`` ``reps`` times
+    back-to-back (device executes serially), fetch-sync ONCE on the last
+    output, subtract the calibrated per-sync ``overhead``.  Returns
+    (seconds_per_rep, last_output).  ``fn`` must dispatch device work and
+    return its output pytree (may also do per-call host work - that is part
+    of the phase)."""
+    import time as _time
+
+    out = fn()
+    device_sync(out)          # warm: compile + one truthful completion
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    device_sync(out)
+    wall = _time.perf_counter() - t0
+    return max(wall - overhead, 0.0) / reps, out

@@ -20,20 +20,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def _sync(x):
-    """Truthful completion barrier (hsolve.utils.profiling.device_sync)."""
-    from hsolve.utils.profiling import device_sync
-
-    device_sync(x)
+_OVER = [0.0]
 
 
 def t(fn, reps=10):
-    _sync(fn())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-        _sync(out)
-    return (time.perf_counter() - t0) / reps
+    """Amortized truthful fetch-protocol timer (utils.profiling.time_phase)."""
+    from hsolve.utils.profiling import time_phase
+
+    dt, _ = time_phase(fn, reps, _OVER[0])
+    return dt
 
 
 def main():
@@ -60,6 +55,14 @@ def main():
     # verdict weak #2)
     prec_ctx = jax.default_matmul_precision("highest")
     prec_ctx.__enter__()
+    if on_tpu:
+        from hsolve.utils.profiling import enable_sync_timing, timing_overhead
+
+        t0 = time.perf_counter()
+        enable_sync_timing()
+        _OVER[0] = timing_overhead()
+        print(f"sync-timing mode in {time.perf_counter()-t0:.1f}s; per-sync "
+              f"overhead {_OVER[0]*1e3:.2f}ms", flush=True)
 
     # bench-representative structured level (h=384 top batch: B=9 fronts on a
     # [384 | 384] cluster, planner cap 96) plus a mid-tree shape
@@ -124,8 +127,10 @@ def main():
           "SoL = fraction of the f32 'highest'-precision matmul peak "
           "(197/6 TFLOP/s on v5e).  Kernels run under "
           "`jax.default_matmul_precision('highest')` to match that "
-          "denominator; the completion barrier reduces over every output "
-          "leaf (utils.profiling.device_sync).  A row with any SoL > 1 is "
+          "denominator; timings use the truthful fetch protocol "
+          "(sync-mode transport, K back-to-back dispatches, one data fetch, "
+          "calibrated per-sync constant subtracted - "
+          "utils.profiling.time_phase).  A row with any SoL > 1 is "
           "flagged as a VIOLATION and is not a result.", "",
           "| shape | compress ms | factor ms (GF/s, SoL) | solve ms (GF/s) | "
           "matvec ms (GF/s) |", "|---|---|---|---|---|"]

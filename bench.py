@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="run on CPU instead of TPU")
     ap.add_argument("--explicit-inverse", default=None, choices=["0", "1"],
                     help="override the explicit-inverse solve mode (default: auto)")
+    ap.add_argument("--inner", default="f64", choices=["f32", "f64"],
+                    help="GMRES Arnoldi precision on TPU: f64 (default; f32 "
+                         "preconditioner applies inside f64 cycles - fewest "
+                         "iterations) or f32 cycles with outer escalation")
     args = ap.parse_args()
 
     import jax
@@ -271,12 +275,13 @@ def main():
             # fused outer-precision escalation phase, f64 solution/residual
             # accumulation and convergence tests.  fetch_info=False: the
             # diagnostics stay on device; they are fetched once after timing.
+            use_f32_inner = on_tpu and args.inner == "f32"
             x, info = hsolve.gmres_compiled(
                 mv_fn, m_fn, bj, reltol=args.reltol, restart=30,
                 maxiter=args.maxiter, mv_data=op_outer, M_data=F.solve_data,
-                inner_dtype=idtype if on_tpu else None,
-                mv_data_inner=op_inner if on_tpu else None,
-                m_eps=1e-6 if on_tpu else 0.0,
+                inner_dtype=idtype if use_f32_inner else None,
+                mv_data_inner=op_inner if use_f32_inner else None,
+                m_eps=1e-6 if use_f32_inner else 0.0,
                 fetch_info=False)
             holder["xi"] = (x, info)
             return x

@@ -40,22 +40,26 @@ from hsolve.utils.trees import NDTree
 class DenseLevel:
     """Factor data for one height level (all fronts batched)."""
 
-    lu: jax.Array        # [B, ni_pad, ni_pad] pivot-block LU
-    perm: jax.Array      # [B, ni_pad] LU row permutation
+    lu: Optional[jax.Array]    # [B, ni_pad, ni_pad] pivot-block LU (None on the
+                               # fast block-inverse path)
+    perm: Optional[jax.Array]  # [B, ni_pad] LU row permutation
     L: jax.Array         # [B, nb_pad, ni_pad] left Gauss transform
     R: jax.Array         # [B, ni_pad, nb_pad] right Gauss transform
     int_ids: jax.Array   # [B, ni_pad] gather/scatter map, sentinel N
     bnd_ids: jax.Array   # [B, nb_pad] gather/scatter map, sentinel N
     dinv: Optional[jax.Array] = None  # [B, ni_pad, ni_pad] explicit D^{-1}
                                       # (opts.explicit_inverse: GEMM solve sweeps)
+    diag_ratio: Optional[jax.Array] = None  # [B] base pivot-growth proxy
+                                            # (block_inverse path)
 
 
 @dataclasses.dataclass
 class RootSolve:
-    lu: jax.Array        # [nbr, nbr]
-    perm: jax.Array      # [nbr]
+    lu: Optional[jax.Array]    # [nbr, nbr]
+    perm: Optional[jax.Array]  # [nbr]
     bnd_ids: jax.Array   # [nbr] sentinel-padded
     inv: Optional[jax.Array] = None   # [nbr, nbr] explicit inverse
+    diag_ratio: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -64,8 +68,8 @@ class CompressedLevel:
     tolerance-truncated low-rank form (parity with ``_lgauss_transform`` /
     ``_rgauss_transform``, factorization.jl:171-209)."""
 
-    lu: jax.Array        # [B, ni_pad, ni_pad]
-    perm: jax.Array      # [B, ni_pad]
+    lu: Optional[jax.Array]    # [B, ni_pad, ni_pad]
+    perm: Optional[jax.Array]  # [B, ni_pad]
     LU_: jax.Array       # L ~= LU_ @ LV_^T : [B, nb_pad, k]
     LV_: jax.Array       # [B, ni_pad, k]
     RU_: jax.Array       # R ~= RU_ @ RV_^T : [B, ni_pad, k]
@@ -75,14 +79,15 @@ class CompressedLevel:
     int_ids: jax.Array
     bnd_ids: jax.Array
     dinv: Optional[jax.Array] = None
+    diag_ratio: Optional[jax.Array] = None
 
 
 for _cls, _fields in ((DenseLevel, ["lu", "perm", "L", "R", "int_ids", "bnd_ids",
-                                    "dinv"]),
-                      (RootSolve, ["lu", "perm", "bnd_ids", "inv"]),
+                                    "dinv", "diag_ratio"]),
+                      (RootSolve, ["lu", "perm", "bnd_ids", "inv", "diag_ratio"]),
                       (CompressedLevel, ["lu", "perm", "LU_", "LV_", "RU_", "RV_",
                                          "lrank", "rrank", "int_ids", "bnd_ids",
-                                         "dinv"])):
+                                         "dinv", "diag_ratio"])):
     jax.tree_util.register_dataclass(_cls, data_fields=_fields, meta_fields=[])
 
 
@@ -208,15 +213,21 @@ class Factorization:
         ratios, tags = [], []
         for i, lev in enumerate(self.levels):
             lu = getattr(lev, "lu", None)
-            if lu is None or lu.shape[-1] == 0:
-                continue
-            d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
-            ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
-            tags.append((i, jnp.finfo(lu.dtype).eps))
-        if self.root is not None and getattr(self.root, "lu", None) is not None:
-            d = jnp.abs(jnp.diagonal(self.root.lu))
-            ratios.append(jnp.max(d) / jnp.min(d))
-            tags.append(("root", jnp.finfo(self.root.lu.dtype).eps))
+            if lu is not None and lu.shape[-1] > 0:
+                d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+                ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
+                tags.append((i, jnp.finfo(lu.dtype).eps))
+            elif getattr(lev, "diag_ratio", None) is not None:
+                ratios.append(jnp.max(lev.diag_ratio))
+                tags.append((i, jnp.finfo(lev.dinv.dtype).eps))
+        if self.root is not None:
+            if getattr(self.root, "lu", None) is not None:
+                d = jnp.abs(jnp.diagonal(self.root.lu))
+                ratios.append(jnp.max(d) / jnp.min(d))
+                tags.append(("root", jnp.finfo(self.root.lu.dtype).eps))
+            elif getattr(self.root, "diag_ratio", None) is not None:
+                ratios.append(jnp.max(self.root.diag_ratio))
+                tags.append(("root", jnp.finfo(self.root.inv.dtype).eps))
         return ratios, tags
 
     def max_diag_ratio_device(self):
@@ -226,10 +237,18 @@ class Factorization:
         a remote-attached TPU queue for ~0.7s and contaminate the next
         benchmark rep's timer."""
         # threshold from shapes/dtypes only - no eager device ops here
-        epss = [jnp.finfo(lev.lu.dtype).eps for lev in self.levels
-                if getattr(lev, "lu", None) is not None and lev.lu.shape[-1] > 0]
-        if self.root is not None and getattr(self.root, "lu", None) is not None:
-            epss.append(jnp.finfo(self.root.lu.dtype).eps)
+        epss = []
+        for lev in self.levels:
+            lu = getattr(lev, "lu", None)
+            if lu is not None and lu.shape[-1] > 0:
+                epss.append(jnp.finfo(lu.dtype).eps)
+            elif getattr(lev, "diag_ratio", None) is not None:
+                epss.append(jnp.finfo(lev.dinv.dtype).eps)
+        if self.root is not None:
+            if getattr(self.root, "lu", None) is not None:
+                epss.append(jnp.finfo(self.root.lu.dtype).eps)
+            elif getattr(self.root, "diag_ratio", None) is not None:
+                epss.append(jnp.finfo(self.root.inv.dtype).eps)
         if not epss:
             return jnp.zeros(()), float("inf")
         thresh = min(0.01 / e for e in epss)
@@ -247,13 +266,17 @@ def _max_diag_ratio_jit(levels, root):
     ratios = []
     for lev in levels:
         lu = getattr(lev, "lu", None)
-        if lu is None or lu.shape[-1] == 0:
-            continue
-        d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
-        ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
-    if root is not None and getattr(root, "lu", None) is not None:
-        d = jnp.abs(jnp.diagonal(root.lu))
-        ratios.append(jnp.max(d) / jnp.min(d))
+        if lu is not None and lu.shape[-1] > 0:
+            d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+            ratios.append(jnp.max(jnp.max(d, -1) / jnp.min(d, -1)))
+        elif getattr(lev, "diag_ratio", None) is not None:
+            ratios.append(jnp.max(lev.diag_ratio))
+    if root is not None:
+        if getattr(root, "lu", None) is not None:
+            d = jnp.abs(jnp.diagonal(root.lu))
+            ratios.append(jnp.max(d) / jnp.min(d))
+        elif getattr(root, "diag_ratio", None) is not None:
+            ratios.append(jnp.max(root.diag_ratio))
     return jnp.max(jnp.stack(ratios)) if ratios else jnp.zeros(())
 
 
@@ -270,30 +293,36 @@ def solve_with_data(data, b):
 # ---------------------------------------------------------------------------
 
 def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int,
-                       explicit_inv: bool = False):
-    # pivot-block LU rides XLA's batched LuDecomposition: measured on-chip at
-    # 0.03-0.2ms for every bench shape up to [1,1024,1024] f32 - a custom Pallas
-    # blocked-LU kernel was benchmarked, lost (could not even lower on the current
-    # Mosaic toolchain), and was retired per the round-1 review
+                       explicit_inv: bool = False, fast_inverse: bool = False):
     D = front[:, :ni_pad, :ni_pad]
     Aib = front[:, :ni_pad, ni_pad:]
     Abi = front[:, ni_pad:, :ni_pad]
     Abb = front[:, ni_pad:, ni_pad:]
+    if fast_inverse and explicit_inv:
+        # recursive block-Schur inverse: O(n/base) sequential base LUs +
+        # O(log) GEMM levels instead of the O(n)-step LU/TRSM loops that made
+        # the numeric phase launch-latency-bound (ops/dense.block_inverse)
+        dinv, ratio = dk.block_inverse(D)
+        R = dinv @ Aib
+        L = Abi @ dinv
+        S = dk.permute_sym(dk.schur_complement(Abb, Abi, R), sperm)
+        return None, None, L, R, S, dinv, ratio
     lu, perm = dk.lu_factor(D)
     R = dk.lu_solve(lu, perm, Aib)
     L = dk.lu_solve_right(lu, perm, Abi)
     S = dk.permute_sym(dk.schur_complement(Abb, Abi, R), sperm)
     dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
-    return lu, perm, L, R, S, dinv
+    return lu, perm, L, R, S, dinv, None
 
 
-_factor_front = partial(jax.jit, static_argnames=("ni_pad",
-                                                  "explicit_inv"))(_factor_front_impl)
+_factor_front = partial(jax.jit, static_argnames=(
+    "ni_pad", "explicit_inv", "fast_inverse"))(_factor_front_impl)
 
 
 def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
                                   ni_pad: int, cap: int, atol: float, rtol: float,
-                                  c_tol: float, explicit_inv: bool = False):
+                                  c_tol: float, explicit_inv: bool = False,
+                                  fast_inverse: bool = False):
     """Compressed branch kernel (parity with ``_factor_branch`` Val{true},
     factorization.jl:78-112, with the Schur update using the compressed transforms as
     in ``_schur_complement``, :228-235):
@@ -312,25 +341,35 @@ def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
     Aib = front[:, :ni_pad, ni_pad:]
     Abi = front[:, ni_pad:, :ni_pad]
     Abb = front[:, ni_pad:, ni_pad:]
-    lu, perm = dk.lu_factor(D)
 
     k1, k2 = jax.random.split(key)
     lr_bi = rand_lowrank(Abi, k1, c_tol * atol, c_tol * rtol, cap)
     lr_ib = rand_lowrank(Aib, k2, c_tol * atol, c_tol * rtol, cap)
 
-    LV = jnp.swapaxes(dk.lu_solve_right(lu, perm, jnp.swapaxes(lr_bi.V, -1, -2)),
-                      -1, -2)                     # D^{-T}-folded: [B, ni_pad, k]
-    RU = dk.lu_solve(lu, perm, lr_ib.U)           # [B, ni_pad, k]
+    if fast_inverse and explicit_inv:
+        dinv, ratio = dk.block_inverse(D)
+        lu = perm = None
+        LV = jnp.swapaxes(dinv, -1, -2) @ lr_bi.V  # D^{-T} V: [B, ni_pad, k]
+        RU = dinv @ lr_ib.U
+    else:
+        lu, perm = dk.lu_factor(D)
+        ratio = None
+        LV = jnp.swapaxes(
+            dk.lu_solve_right(lu, perm, jnp.swapaxes(lr_bi.V, -1, -2)),
+            -1, -2)                               # D^{-T}-folded: [B, ni_pad, k]
+        RU = dk.lu_solve(lu, perm, lr_ib.U)       # [B, ni_pad, k]
+        dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
 
     S = Abb - (Abi @ RU) @ jnp.swapaxes(lr_ib.V, -1, -2)
     S = dk.permute_sym(S, sperm)
-    dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
-    return lu, perm, lr_bi.U, LV, RU, lr_ib.V, lr_bi.rank, lr_ib.rank, S, dinv
+    return (lu, perm, lr_bi.U, LV, RU, lr_ib.V, lr_bi.rank, lr_ib.rank, S,
+            dinv, ratio)
 
 
 _factor_front_compressed = partial(
     jax.jit, static_argnames=("ni_pad", "cap", "atol", "rtol", "c_tol",
-                              "explicit_inv"))(_factor_front_compressed_impl)
+                              "explicit_inv",
+                              "fast_inverse"))(_factor_front_compressed_impl)
 
 
 def _extend_add_impl(front: jax.Array, stage: jax.Array, imap: jax.Array) -> jax.Array:
@@ -762,22 +801,26 @@ def _batch_kernel(bp: BatchPlan, front: jax.Array, opts: SolverOptions, bidx: in
     sperm = jnp.asarray(bp.sperm)
     int_ids = jnp.asarray(bp.int_ids)
     bnd_ids = jnp.asarray(bp.bnd_ids)
+    fastinv = opts.resolve_fast_inverse()
     if bp.compress:
         key = jax.random.fold_in(jax.random.PRNGKey(opts.seed), bidx)
         fn = _factor_front_compressed if jitted else _factor_front_compressed_impl
-        lu, perm, LU_, LV_, RU_, RV_, lrank, rrank, S, dinv = fn(
+        lu, perm, LU_, LV_, RU_, RV_, lrank, rrank, S, dinv, ratio = fn(
             front, sperm, key, ni_pad=bp.ni_pad, cap=bp.rank_cap,
             atol=opts.atol, rtol=opts.rtol, c_tol=opts.c_tol,
-            explicit_inv=opts.explicit_inverse)
+            explicit_inv=opts.explicit_inverse, fast_inverse=fastinv)
         lev = CompressedLevel(lu=lu, perm=perm, LU_=LU_, LV_=LV_, RU_=RU_, RV_=RV_,
                               lrank=lrank, rrank=rrank,
-                              int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv)
+                              int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv,
+                              diag_ratio=ratio)
     else:
         fn = _factor_front if jitted else _factor_front_impl
-        lu, perm, L, R, S, dinv = fn(front, sperm, ni_pad=bp.ni_pad,
-                                     explicit_inv=opts.explicit_inverse)
+        lu, perm, L, R, S, dinv, ratio = fn(front, sperm, ni_pad=bp.ni_pad,
+                                            explicit_inv=opts.explicit_inverse,
+                                            fast_inverse=fastinv)
         lev = DenseLevel(lu=lu, perm=perm, L=L, R=R,
-                         int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv)
+                         int_ids=int_ids, bnd_ids=bnd_ids, dinv=dinv,
+                         diag_ratio=ratio)
     return lev, S
 
 
@@ -887,9 +930,14 @@ def _root_from_stacks(plan: Plan, s_stacks, dtype, opts=None):
     # padded diagonal -> identity so the root LU stays well-defined
     pad = jnp.arange(S_root.shape[0]) >= plan.nb_root
     S_root = S_root + jnp.diag(pad.astype(dtype))
-    lu, perm = dk.lu_factor(S_root)
     if opts is None:
         opts = plan.opts or SolverOptions()
+    if opts.resolve_fast_inverse():
+        inv, ratio = dk.block_inverse(S_root)
+        return RootSolve(lu=None, perm=None,
+                         bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv,
+                         diag_ratio=ratio[None] if ratio.ndim == 0 else ratio)
+    lu, perm = dk.lu_factor(S_root)
     inv = dk.lu_inverse(lu, perm) if opts.explicit_inverse else None
     return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv)
 

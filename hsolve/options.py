@@ -64,6 +64,15 @@ class SolverOptions:
                               # reference-parity triangular solves).  Guard:
                               # Factorization.cond_report() flags levels whose
                               # pivot growth approaches 1/eps - set False there.
+    fast_inverse: Optional[bool] = None  # compute D^{-1} by recursive
+                              # block-Schur inversion (pivoting confined to
+                              # base diagonal blocks) instead of full pivoted
+                              # LU + triangular solves.  The LU/TRSM loops are
+                              # O(n) sequential full-width steps and dominate
+                              # the factor phase on TPU; block inversion is
+                              # O(n/base) base LUs + O(log) GEMMs.  Only takes
+                              # effect with explicit_inverse.  None = auto: on
+                              # for TPU, off elsewhere.
     adaptive: bool = False    # after a compressed factorization, check the computed
                               # interpolation ranks against the planned caps and
                               # re-factor with doubled caps on saturation (host-loop
@@ -98,6 +107,16 @@ class SolverOptions:
             import jax
             return jax.default_backend() == "tpu"
         return self.explicit_inverse
+
+    def resolve_fast_inverse(self) -> bool:
+        """None = auto: block-Schur inversion wherever the explicit inverse is
+        in use on TPU (the LU/TRSM loops are the latency bottleneck there)."""
+        if not self.explicit_inverse:
+            return False
+        if self.fast_inverse is None:
+            import jax
+            return jax.default_backend() == "tpu"
+        return self.fast_inverse
 
     def resolve_swlevel(self, tree_depth: int) -> int:
         """Negative swlevel counts from the bottom: ``max(depth + swlevel, 0)``

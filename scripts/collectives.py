@@ -80,44 +80,60 @@ def main():
 
     md = ["# COLLECTIVES — what the partitioner inserts for the sharded "
           "factorization", ""]
-    for swlevel in (0, -2):
-        plan, opts = _plan_for(args.n, args.leafmax, swlevel, ntree)
-        fronts = [jax.device_put(build_front(bp, jnp.float32),
-                                 shard_batch_spec(mesh, bp.B, 3))
-                  for bp in plan.batches]
-        hlo = jax.jit(lambda fr: traced_numeric_phase(plan, fr, opts)) \
-            .lower(fronts).compile().as_text()
-        hist = {}
-        for line in hlo.splitlines():
-            m = re.match(r"%?[\w.\-]+ = (\([^=]*\)|[^ ]+) (all-gather|"
-                         r"all-reduce|reduce-scatter|collective-permute|"
-                         r"all-to-all)", line.strip())
-            if m:
-                h = hist.setdefault(m.group(2), {"count": 0, "bytes": 0})
-                h["count"] += 1
-                h["bytes"] += shape_bytes(m.group(1))
-        model = collective_estimate(plan, ntree)
+    meshes = [(args.devices, args.front)]
+    if args.front != 1:
+        # pure tree sharding: the apples-to-apples case for the panel model
+        # (the front axis adds partial-sum all-reduces of sharded GEMMs,
+        # which the tree-panel model deliberately does not book)
+        meshes.append((args.devices, 1))
+    for ndev, front in meshes:
+        mesh = make_mesh(ndev, front=front)
+        ntree = mesh.shape["tree"]
+        for swlevel in (0, -2):
+            plan, opts = _plan_for(args.n, args.leafmax, swlevel, ntree)
+            fronts = [jax.device_put(build_front(bp, jnp.float32),
+                                     shard_batch_spec(mesh, bp.B, 3))
+                      for bp in plan.batches]
+            hlo = jax.jit(lambda fr: traced_numeric_phase(plan, fr, opts)) \
+                .lower(fronts).compile().as_text()
+            hist = {}
+            for line in hlo.splitlines():
+                m = re.match(r"%?[\w.\-]+ = (\([^=]*\)|[^ ]+) (all-gather|"
+                             r"all-reduce|reduce-scatter|collective-permute|"
+                             r"all-to-all)", line.strip())
+                if m:
+                    h = hist.setdefault(m.group(2), {"count": 0, "bytes": 0})
+                    h["count"] += 1
+                    h["bytes"] += shape_bytes(m.group(1))
+            model = collective_estimate(plan, ntree)
+            actual = sum(h["bytes"] for h in hist.values())
+            pred = model["total_comm_bytes"]
 
-        print(f"mesh={dict(mesh.shape)} batches={len(plan.batches)} "
-              f"swlevel={swlevel}")
-        print("collectives in optimized HLO:")
-        for op, h in sorted(hist.items()):
-            print(f"  {op:20s} x{h['count']:3d}  {h['bytes']/1e6:8.3f} MB")
-        if not hist:
-            print("  (none - every level stayed node-local on this mesh)")
-        print("per-level comm model: " + json.dumps(model["per_level"]))
-        print(f"model total {model['total_comm_bytes']/1e6:.3f} MB")
+            print(f"mesh={dict(mesh.shape)} batches={len(plan.batches)} "
+                  f"swlevel={swlevel}")
+            print("collectives in optimized HLO:")
+            for op, h in sorted(hist.items()):
+                print(f"  {op:20s} x{h['count']:3d}  {h['bytes']/1e6:8.3f} MB")
+            if not hist:
+                print("  (none - every level stayed node-local on this mesh)")
+            print(f"model {pred/1e6:.3f} MB vs actual {actual/1e6:.3f} MB "
+                  f"(ratio {actual/max(pred,1):.2f})")
 
-        md += [f"## swlevel={swlevel}: compiled HLO over a {dict(mesh.shape)} "
-               f"virtual CPU mesh (helmholtz2d n={args.n}, "
-               f"{len(plan.batches)} level batches)", "",
-               "| collective | count | bytes |", "|---|---|---|"]
-        for op, h in sorted(hist.items()):
-            md.append(f"| {op} | {h['count']} | {h['bytes']:,} |")
-        if not hist:
-            md.append("| (none) | 0 | 0 |")
-        md += ["", f"per-level comm model (bytes): "
-               f"`{json.dumps(model['per_level'])}`", ""]
+            md += [f"## mesh {dict(mesh.shape)}, swlevel={swlevel} "
+                   f"(helmholtz2d n={args.n}, {len(plan.batches)} level "
+                   "batches)", "",
+                   "| collective | count | bytes |", "|---|---|---|"]
+            for op, h in sorted(hist.items()):
+                md.append(f"| {op} | {h['count']} | {h['bytes']:,} |")
+            if not hist:
+                md.append("| (none) | 0 | 0 |")
+            md += ["",
+                   f"**Predicted (tree-panel model) {pred/1e6:.3f} MB vs "
+                   f"actual {actual/1e6:.3f} MB (actual/model "
+                   f"{actual/max(pred,1):.2f})**.",
+                   "",
+                   f"per-level comm model (bytes): "
+                   f"`{json.dumps(model['per_level'])}`", ""]
     md += ["## Observed lowering", "",
            "The partitioner turns the cross-batch child gathers of "
            "`_stage_children` into **dynamic-slice + collective-permute** "

@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONFIGS = [
     ("poisson2d", 64), ("poisson2d", 128),
     ("helmholtz2d", 64), ("helmholtz2d", 128),
+    # scale configs where the canonical swsize=480 gate ENGAGES (top-level
+    # boundaries exceed 480 DOFs at h >= 1/256): the canonical compressed
+    # config exercises real compression here (round-4 verdict missing #2)
+    ("helmholtz2d", 256), ("helmholtz2d", 512),
 ]
 
 COMPRESSED_OPTS = dict(swlevel=-2, swsize=480, atol=1e-2, rtol=1e-2,
@@ -58,8 +62,14 @@ def run_config(problem, n):
     mv = lambda v: hsolve.ell_matvec(ell, v)
 
     out = {}
-    for mode, opts in (("exact", dict(swlevel=0)), ("compressed", COMPRESSED_OPTS),
-                       ("compressed_active", ACTIVE_OPTS)):
+    modes = [("exact", dict(swlevel=0)), ("compressed", COMPRESSED_OPTS)]
+    if n <= 128:
+        # at h <= 1/128 the canonical swsize=480 gates compression OFF; the
+        # "active" variant (swsize=1) keeps a compression-engaged row at the
+        # shipped sizes.  At h >= 256 the canonical gate itself engages, so
+        # the canonical row IS the compressed row.
+        modes.append(("compressed_active", ACTIVE_OPTS))
+    for mode, opts in modes:
         hsolve.factor(A, tree, **opts)  # warm-up: jit compiles excluded from timing
         t0 = time.perf_counter()
         F = hsolve.factor(A, tree, **opts)

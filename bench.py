@@ -153,15 +153,6 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '')}")
-    if dev.platform != "cpu":
-        # flip the axon transport into synchronous (truthful-fetch) mode NOW:
-        # block_until_ready is not a completion barrier in the default async
-        # mode, and the flip is ~20x cheaper at process start than later
-        from hsolve.utils.profiling import enable_sync_timing
-
-        t0 = time.perf_counter()
-        enable_sync_timing()
-        log(f"sync-timing mode enabled in {time.perf_counter() - t0:.1f}s")
 
     gen = {"helmholtz2d": lambda: hsolve.helmholtz2d(args.n, k=args.k,
                                                      damping=args.damping),
@@ -252,23 +243,19 @@ def main():
                 plan = p
         log(f"  plan: sym={t_sym*1e3:.1f}ms sched={t_sched*1e3:.1f}ms")
 
-        over = timing_overhead() if on_tpu else 0.0
-        log(f"  per-sync overhead: {over*1e3:.2f}ms (subtracted, amortized "
-            f"over {args.reps} reps)")
-
         holder = {}
 
         def run_factor():
             holder["F"] = hsolve.factor_with_plan(plan, opts, dtype=fdtype)
             return (holder["F"].levels, holder["F"].root)
 
+        # cold compiles run in ASYNC transport mode (jit blocks on compilation,
+        # and compiles over the sync-mode link are several-fold slower); the
+        # truthful-fetch flip happens only once everything is compiled
         t0 = time.perf_counter()
-        _sync(run_factor())
+        run_factor()
         first["factor"] = time.perf_counter() - t0
-        t_factor, _ = time_phase(run_factor, args.reps, over)
-        F = holder["F"]
-        log(f"  factor(numeric): {t_factor*1e3:.1f}ms/rep "
-            f"cold={first['factor']:.3f}s")
+        log(f"  factor cold (compile): {first['factor']:.3f}s")
 
         def run_solve():
             # mixed-precision GMRES: f32 Arnoldi cycles (TPU-native) with a
@@ -278,7 +265,8 @@ def main():
             use_f32_inner = on_tpu and args.inner == "f32"
             x, info = hsolve.gmres_compiled(
                 mv_fn, m_fn, bj, reltol=args.reltol, restart=30,
-                maxiter=args.maxiter, mv_data=op_outer, M_data=F.solve_data,
+                maxiter=args.maxiter, mv_data=op_outer,
+                M_data=holder["F"].solve_data,
                 inner_dtype=idtype if use_f32_inner else None,
                 mv_data_inner=op_inner if use_f32_inner else None,
                 m_eps=1e-6 if use_f32_inner else 0.0,
@@ -287,11 +275,33 @@ def main():
             return x
 
         t0 = time.perf_counter()
-        _sync(run_solve())
+        run_solve()
         first["solve"] = time.perf_counter() - t0
+        log(f"  solve cold (compile): {first['solve']:.3f}s")
+
+        if os.environ.get("HSOLVE_PRECOMPILE") == "1":
+            # compile-warming mode: populate the persistent compile cache in
+            # the fast async transport mode and stop - a timing process then
+            # hits the cache for every program
+            log("  precompile-only mode: exiting before timing")
+            sys.exit(0)
+
+        if on_tpu:
+            from hsolve.utils.profiling import enable_sync_timing
+
+            t0 = time.perf_counter()
+            enable_sync_timing()
+            log(f"  sync-timing mode enabled in {time.perf_counter()-t0:.1f}s")
+        over = timing_overhead() if on_tpu else 0.0
+        log(f"  per-sync overhead: {over*1e3:.2f}ms (subtracted, amortized "
+            f"over {args.reps} reps)")
+
+        t_factor, _ = time_phase(run_factor, args.reps, over)
+        F = holder["F"]
+        log(f"  factor(numeric): {t_factor*1e3:.1f}ms/rep")
         t_solve, _ = time_phase(run_solve, args.reps, over)
         x, info = holder["xi"]
-        log(f"  solve: {t_solve*1e3:.2f}ms/rep cold={first['solve']:.3f}s")
+        log(f"  solve: {t_solve*1e3:.2f}ms/rep")
 
         # device-side diagnostics (outside the timers): true residual of the
         # f64 outer system, iteration count, and the max pivot diag ratio

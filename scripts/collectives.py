@@ -134,35 +134,50 @@ def main():
                    "",
                    f"per-level comm model (bytes): "
                    f"`{json.dumps(model['per_level'])}`", ""]
-    md += ["## Observed lowering", "",
+    md += ["## Observed lowering vs the model", "",
            "The partitioner turns the cross-batch child gathers of "
-           "`_stage_children` into **dynamic-slice + collective-permute** "
-           "pairs - each child Schur panel moves point-to-point from its owner "
-           "to the parent's shard (the neighbor/halo pattern SURVEY section "
-           "5.8 predicted for the extend-add), with small "
-           "all-gathers/all-reduces combining the per-source contributions.  "
-           "No bulk all-gather of whole stacks appears; per-panel exchange is "
-           "the bandwidth-optimal shape for this schedule.  Front build, LU, "
-           "Schur GEMMs and compression are node-local by construction.  The "
-           "host-side model (`hsolve.utils.profiling.collective_estimate`) "
-           "books each consumed child stack at (1 - 1/ntree) of its size - an "
-           "upper bound on the per-panel exchange.", "",
+           "`_stage_children` into dynamic-slice + collective-permute "
+           "pairs (the neighbor/halo pattern SURVEY section 5.8 predicted "
+           "for the extend-add) - that part the tree-panel model "
+           "(`hsolve.utils.profiling.collective_estimate`) books.  The "
+           "measured HLO carries MORE than the model on top of it "
+           "(actual/model 1.5-11x above): (a) all-reduces of the batched "
+           "front buffers from the COO scatter assembly (`build_front_vals` "
+           "scatters replicated values into a tree-sharded buffer - the "
+           "partitioner materializes and combines it), dominant on the "
+           "exact path whose [B, m, m] fronts are large; (b) with a "
+           "`front>1` axis, partial-sum all-reduces of front-sharded GEMMs "
+           "(deliberately outside the tree-panel model - intra-host "
+           "traffic on real topologies).  The model is therefore a LOWER "
+           "bound; the honest scaling statement uses the measured bytes: "
+           "even at the measured 6.7-43 MB per factorization, ICI time at "
+           "186 GB/s is 0.04-0.23 ms - still far below the per-level "
+           "compute, so the predicted efficiencies below stand (with the "
+           "measured-bytes correction shown).", "",
            "## Predicted 2-host efficiency at production scale (model only)", "",
            "Speed-of-light compute halves with 2-way tree sharding; the child "
            "panels of the cut level cross ICI.  eff = T_comp/2 / (T_comp/2 + "
            "T_comm):", "",
-           "| problem | swlevel | comm MB | SoL compute ms | comm ms | "
-           "predicted eff |", "|---|---|---|---|---|---|"]
+           "| problem | swlevel | comm MB (model) | SoL compute ms | comm ms | "
+           "predicted eff | eff @ measured-bytes ratio |",
+           "|---|---|---|---|---|---|---|"]
+    # correct the model-only projection by the WORST actual/model ratio
+    # measured in the HLO audits above (per swlevel)
+    ratios = {0: 11.01, -2: 3.75}
     for swlevel in (0, -2):
         plan, _ = _plan_for(args.big_n, 100, swlevel, 2)
         m2 = collective_estimate(plan, 2)
+        t2 = m2["sol_compute_s"] / 2.0
+        corr = ratios.get(swlevel, 1.0)
+        eff_c = t2 / (t2 + m2["t_comm_s"] * corr) if t2 > 0 else 1.0
         md.append(
             f"| helmholtz2d h={args.big_n} | {swlevel} | "
             f"{m2['total_comm_bytes']/1e6:.2f} | {m2['sol_compute_s']*1e3:.2f} "
             f"| {m2['t_comm_s']*1e3:.3f} | **{m2['predicted_2way_efficiency']}"
-            f"** |")
+            f"** | {eff_c:.3f} (x{corr}) |")
         print(f"h={args.big_n} swlevel={swlevel}: predicted 2-way eff "
-              f"{m2['predicted_2way_efficiency']}")
+              f"{m2['predicted_2way_efficiency']} "
+              f"(measured-ratio corrected {eff_c:.3f})")
     md.append("")
     with open(os.path.join(ROOT, "COLLECTIVES.md"), "w") as f:
         f.write("\n".join(md))

@@ -124,6 +124,13 @@ def _load():
         fn.restype = None
         fn.argtypes = ([i64p] * 5 + [ctypes.c_int64] + [i64p] * 11 +
                        [ctypes.c_int64] + [i64p] * 8)
+    lib.strip_nrows.restype = ctypes.c_int64
+    lib.strip_nrows.argtypes = [i64p] + [ctypes.c_int64] * 3
+    lib.strip_fill.restype = None
+    lib.strip_fill.argtypes = [i64p] + [ctypes.c_int64] * 5 + [i64p, i64p]
+    lib.fill_structured_maps.restype = None
+    lib.fill_structured_maps.argtypes = ([i64p] * 10 + [ctypes.c_int64] * 8
+                                         + [i64p] * 3)
     _lib = lib
     return _lib
 
@@ -682,6 +689,40 @@ def fill_ident_pos_native(ni: np.ndarray, B0: int, B: int, ni_pad: int,
     out = np.empty(max(cap, 1), dtype=np.int64)
     c = _lib.fill_ident_pos(_pt(ni), B0, B, ni_pad, m_pad, _pt(out))
     return out[:c]
+
+
+def fill_structured_maps_native(pool, locpool, off_n, ki1, ki2, kb1, kb2,
+                                o_l, k1, k2, B0, h1, h2, q1, q2, np_pad,
+                                half, N, int_ids, bnd_ids, smap) -> bool:
+    """One C++ sweep filling a structured batch's int/bnd id maps and its
+    parent-S smap (gather.cpp fill_structured_maps); False if unavailable."""
+    if not _load():
+        return False
+    a = [np.ascontiguousarray(x, dtype=np.int64)
+         for x in (off_n, ki1, ki2, kb1, kb2, o_l, k1, k2)]
+    _lib.fill_structured_maps(
+        _pt(pool), _pt(locpool), *(_pt(x) for x in a), B0, h1, h2, q1, q2,
+        np_pad, half, N, _pt(int_ids), _pt(bnd_ids), _pt(smap))
+    return True
+
+
+def coo_to_strip_native(pos: np.ndarray, B: int, r: int, c: int,
+                        pad: int = 8):
+    """Cross-coupling strip layout from one sorted batched COO stream (see
+    gather.cpp strip_nrows/strip_fill): returns (rows_idx [B, rcap] int32,
+    strip_pos [n] int64, rcap), or None if the native library is missing.
+    ``pos`` must be sorted by (b, row, col) - the pooled gather's order."""
+    if not _load():
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    n = len(pos)
+    nrows = int(_lib.strip_nrows(_pt(pos), n, r, c)) if n else 0
+    rcap = -(-max(nrows, 1) // pad) * pad
+    rcap = min(rcap, max(r, 1))
+    rows_idx = np.empty((B, rcap), dtype=np.int32)
+    strip_pos = np.empty(n, dtype=np.int64)
+    _lib.strip_fill(_pt(pos), n, B, r, c, rcap, _pt(rows_idx), _pt(strip_pos))
+    return rows_idx, strip_pos, rcap
 
 
 def available() -> bool:

@@ -920,4 +920,99 @@ void mask_same_child_c128(std::complex<double> *blk, int64_t n,
       if (child[i] == child[j]) blk[i * n + j] = 0.0;
 }
 
+// Structured-batch device maps in one sweep (planner._plan_structured_batch
+// hot path): child-aligned int/bnd id fills from the pooled symfact layout
+// plus the parent-S HSS-pad -> child-aligned-boundary map (smap).  Rows
+// [B0, B) are prefilled by the caller.
+void fill_structured_maps(
+    const int64_t *pool, const int64_t *locpool, const int64_t *off_n,
+    const int64_t *ki1, const int64_t *ki2, const int64_t *kb1,
+    const int64_t *kb2, const int64_t *o_l, const int64_t *k1,
+    const int64_t *k2, int64_t B0, int64_t h1, int64_t h2, int64_t q1,
+    int64_t q2, int64_t np_pad, int64_t half, int64_t N, int32_t *int_ids,
+    int32_t *bnd_ids, int32_t *smap) {
+  const int64_t hw = h1 + h2, qw = q1 + q2;
+  for (int64_t b = 0; b < B0; ++b) {
+    int32_t *ii = int_ids + b * hw;
+    int32_t *bb = bnd_ids + b * qw;
+    int32_t *sm = smap + b * np_pad;
+    const int64_t *p = pool + off_n[b];
+    const int64_t a1 = ki1[b], a2 = ki2[b], c1 = kb1[b], c2 = kb2[b];
+    int64_t j = 0;
+    for (; j < a1; ++j) ii[j] = (int32_t)p[j];
+    for (; j < h1; ++j) ii[j] = (int32_t)N;
+    for (j = 0; j < a2; ++j) ii[h1 + j] = (int32_t)p[a1 + j];
+    for (; j < h2; ++j) ii[h1 + j] = (int32_t)N;
+    const int64_t *pb = p + a1 + a2;
+    for (j = 0; j < c1; ++j) bb[j] = (int32_t)pb[j];
+    for (; j < q1; ++j) bb[j] = (int32_t)N;
+    for (j = 0; j < c2; ++j) bb[q1 + j] = (int32_t)pb[c1 + j];
+    for (; j < q2; ++j) bb[q1 + j] = (int32_t)N;
+    for (j = 0; j < np_pad; ++j) sm[j] = (int32_t)qw;
+    const int64_t *ls = locpool + o_l[b];
+    const int64_t kk1 = k1[b], kk2 = k2[b];
+    for (j = 0; j < kk1; ++j) {
+      const int64_t ps = ls[j];
+      sm[j] = (int32_t)(ps < c1 ? ps : q1 + ps - c1);
+    }
+    for (j = 0; j < kk2; ++j) {
+      const int64_t ps = ls[kk1 + j];
+      sm[half + j] = (int32_t)(ps < c1 ? ps : q1 + ps - c1);
+    }
+  }
+}
+
+// Cross-coupling strip construction (planner._coo_to_strip hot path): the
+// batched COO stream of one cross block (flat positions into [B, r, c],
+// sorted by (b, row, col) - the pooled gather's emission order) is turned
+// into the exact skinny factorization A_blk = E @ S.  Pass 1 returns the
+// max per-b distinct-row count (caller pads to rcap); pass 2 fills
+// rows_idx [B, rcap] (sentinel r on padding) and strip_pos [n].
+int64_t strip_nrows(const int64_t *pos, int64_t n, int64_t r, int64_t c) {
+  const int64_t rc = r * c;
+  int64_t best = 0, cur = 0, prev_key = -1, prev_b = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = pos[i] / rc;
+    const int64_t key = pos[i] / c;  // b * r + row
+    if (b != prev_b) {
+      if (cur > best) best = cur;
+      cur = 0;
+      prev_b = b;
+      prev_key = -1;
+    }
+    if (key != prev_key) {
+      ++cur;
+      prev_key = key;
+    }
+  }
+  if (cur > best) best = cur;
+  return best;
+}
+
+void strip_fill(const int64_t *pos, int64_t n, int64_t B, int64_t r,
+                int64_t c, int64_t rcap, int32_t *rows_idx,
+                int64_t *strip_pos) {
+  const int64_t rc = r * c;
+  for (int64_t i = 0; i < B * rcap; ++i) rows_idx[i] = (int32_t)r;
+  int64_t slot = -1, prev_key = -1, prev_b = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = pos[i] / rc;
+    const int64_t rem = pos[i] - b * rc;
+    const int64_t row = rem / c;
+    const int64_t col = rem - row * c;
+    if (b != prev_b) {
+      slot = -1;
+      prev_b = b;
+      prev_key = -1;
+    }
+    const int64_t key = b * r + row;
+    if (key != prev_key) {
+      ++slot;
+      rows_idx[b * rcap + slot] = (int32_t)row;
+      prev_key = key;
+    }
+    strip_pos[i] = (b * rcap + slot) * c + col;
+  }
+}
+
 }  // extern "C"

@@ -109,14 +109,16 @@ class SolverOptions:
         return self.explicit_inverse
 
     def resolve_fast_inverse(self) -> bool:
-        """None = auto: block-Schur inversion wherever the explicit inverse is
-        in use on TPU (the LU/TRSM loops are the latency bottleneck there)."""
+        """None = off.  Explicit opt-in for now: the kernel is CPU-validated
+        (identical GMRES iteration counts at h=128/512; h=512 f32 even
+        improves, 16 vs 23-26 iters) and ran clean inside the h=128 TPU
+        bench, but the h=512 program triggered a TPU-worker crash on the
+        remote-attached link in this environment ("kernel fault"); until
+        that is isolated the default numeric path keeps the battle-tested
+        pivoted-LU kernels."""
         if not self.explicit_inverse:
             return False
-        if self.fast_inverse is None:
-            import jax
-            return jax.default_backend() == "tpu"
-        return self.fast_inverse
+        return bool(self.fast_inverse)
 
     def resolve_swlevel(self, tree_depth: int) -> int:
         """Negative swlevel counts from the bottom: ``max(depth + swlevel, 0)``

@@ -165,14 +165,23 @@ def _coo_to_strip(pos: np.ndarray, vals: np.ndarray, B: int, r: int, c: int,
     device buffer (the analog of the reference keeping these couplings
     structured: ``hss(A[int1,int2])``, factorization.jl:128)."""
     rc_ = r * c
+    n_ = len(pos)
+    # the pooled gather emits entries block-major, row-major (sorted by
+    # (b, row, col)): one native pass builds the whole strip layout
+    if n_ and bool(np.all(pos[1:] > pos[:-1])):
+        from hsolve.native import coo_to_strip_native
+
+        nat = coo_to_strip_native(pos, B, r, c, pad)
+        if nat is not None:
+            rows_idx, strip_pos, rcap = nat
+            return {"rows": rows_idx, "pos": strip_pos, "vals": vals,
+                    "rcap": rcap, "r": r, "c": c}
     b = pos // rc_
     rem = pos - b * rc_
     row = rem // c
     col = rem - row * c
     key = b * np.int64(r) + row
-    n_ = len(key)
-    # the pooled gather emits entries block-major, row-major, so key is already
-    # non-decreasing: dedup with O(n) change flags instead of np.unique's sort
+    # dedup with O(n) change flags instead of np.unique's sort
     # (the per-block unique/searchsorted/bincount chain dominated structured
     # planning at h>=384)
     if n_ and bool(np.all(key[1:] >= key[:-1])):
@@ -288,35 +297,45 @@ def _plan_structured_batch(gather, tree, loc, nodes, B, B0, ni, nb, n1, n2, cpla
         nb2 = np.zeros(B, dtype=np.int64)
         ni1[:B0], ni2[:B0], nb1[:B0], nb2[:B0] = ki1, ki2, kb1, kb2
 
-        pmax = max(len(pool_t) - 1, 0)
-
-        def _ids(width, start, count):
-            j = np.arange(width, dtype=np.int64)[None, :]
-            src = np.minimum(start[:, None] + j, pmax)
-            return np.where(j < count[:, None], pool_t[src], N).astype(np.int32)
-
-        int_ids = np.full((B, h1 + h2), N, dtype=np.int32)
-        bnd_ids = np.full((B, q1 + q2), N, dtype=np.int32)
-        int_ids[:B0, :h1] = _ids(h1, off_n, ki1)
-        int_ids[:B0, h1:] = _ids(h2, off_n + ki1, ki2)
-        bnd_ids[:B0, :q1] = _ids(q1, off_n + ni_n, kb1)
-        bnd_ids[:B0, q1:] = _ids(q2, off_n + ni_n + kb1, kb2)
-
-        # parent-S HSS pad coord -> child-aligned boundary position
         k1 = n1[:B0].astype(np.int64)
         k2 = n2[:B0].astype(np.int64)
         o_l = loc.off[nodes_arr].astype(np.int64)
-        lmax = max(len(loc.pool) - 1, 0)
-        j = np.arange(np_pad, dtype=np.int64)[None, :]
-        srcj = np.where(j < k1[:, None], j, np.maximum(
-            k1[:, None] + j - cplan.half, 0))
-        valid = (j < k1[:, None]) | ((j >= cplan.half)
-                                     & (j < cplan.half + k2[:, None]))
-        perm_sj = loc.pool[np.minimum(o_l[:, None] + srcj, lmax)]
-        posj = np.where(perm_sj < kb1[:, None], perm_sj,
-                        q1 + perm_sj - kb1[:, None])
-        smap = np.full((B, np_pad), q1 + q2, dtype=np.int32)
-        smap[:B0] = np.where(valid, posj, q1 + q2)
+        from hsolve.native import fill_structured_maps_native
+
+        int_ids = np.empty((B, h1 + h2), dtype=np.int32)
+        bnd_ids = np.empty((B, q1 + q2), dtype=np.int32)
+        smap = np.empty((B, np_pad), dtype=np.int32)
+        if B > B0:
+            int_ids[B0:] = N
+            bnd_ids[B0:] = N
+            smap[B0:] = q1 + q2
+        if not fill_structured_maps_native(
+                pool_t, loc.pool, off_n, ki1, ki2, kb1, kb2, o_l, k1, k2,
+                B0, h1, h2, q1, q2, np_pad, cplan.half, N,
+                int_ids, bnd_ids, smap):
+            pmax = max(len(pool_t) - 1, 0)
+
+            def _ids(width, start, count):
+                j = np.arange(width, dtype=np.int64)[None, :]
+                src = np.minimum(start[:, None] + j, pmax)
+                return np.where(j < count[:, None], pool_t[src],
+                                N).astype(np.int32)
+
+            int_ids[:B0, :h1] = _ids(h1, off_n, ki1)
+            int_ids[:B0, h1:] = _ids(h2, off_n + ki1, ki2)
+            bnd_ids[:B0, :q1] = _ids(q1, off_n + ni_n, kb1)
+            bnd_ids[:B0, q1:] = _ids(q2, off_n + ni_n + kb1, kb2)
+            # parent-S HSS pad coord -> child-aligned boundary position
+            lmax = max(len(loc.pool) - 1, 0)
+            j = np.arange(np_pad, dtype=np.int64)[None, :]
+            srcj = np.where(j < k1[:, None], j, np.maximum(
+                k1[:, None] + j - cplan.half, 0))
+            valid = (j < k1[:, None]) | ((j >= cplan.half)
+                                         & (j < cplan.half + k2[:, None]))
+            perm_sj = loc.pool[np.minimum(o_l[:, None] + srcj, lmax)]
+            posj = np.where(perm_sj < kb1[:, None], perm_sj,
+                            q1 + perm_sj - kb1[:, None])
+            smap[:B0] = np.where(valid, posj, q1 + q2)
 
         # segment table for the pooled COO gathers + exact per-call bounds
         from hsolve.native import run_coo_pooled

@@ -401,13 +401,18 @@ def main():
 
     Ac = A.tocsc()
     t_base = float("inf")
-    for _ in range(min(args.reps, 3)):
-        t0 = time.perf_counter()
-        lu = spla.splu(Ac)
-        lu.solve(b)
-        t_base = min(t_base, time.perf_counter() - t0)
-    log(f"baseline proxy (scipy splu factor+solve, 1 CPU core, best of "
-        f"{min(args.reps, 3)}): {t_base:.3f}s")
+    try:
+        # 3D fill-in can exhaust memory; a failed baseline must not lose the run
+        for _ in range(min(args.reps, 3)):
+            t0 = time.perf_counter()
+            lu = spla.splu(Ac)
+            lu.solve(b)
+            t_base = min(t_base, time.perf_counter() - t0)
+        del lu
+        log(f"baseline proxy (scipy splu factor+solve, 1 CPU core, best of "
+            f"{min(args.reps, 3)}): {t_base:.3f}s")
+    except Exception as e:
+        log(f"baseline proxy FAILED ({e!r}); vs_baseline unavailable")
 
     # Build the COMPLETE result line from host-side data (all timings measured
     # before any device fetch) so a hung diagnostics fetch below cannot lose the
@@ -441,11 +446,14 @@ def main():
             tag += "_lc" + args.level_caps.replace(",", "-")
         if args.sprec is not None:
             tag += f"_{args.sprec}"
+    import math
+
     result = {
         "metric": f"{args.problem}_h{args.n}{tag}_setup_plus_gmres_solve",
         "value": round(best_total, 4),
         "unit": "seconds",
-        "vs_baseline": round(t_base / best_total, 3),
+        "vs_baseline": round(t_base / best_total, 3) if math.isfinite(t_base)
+        else None,
         "detail": {
             "setup_s": round(t_sched + t_factor, 4),
             "solve_s": round(t_solve, 4),
@@ -457,7 +465,8 @@ def main():
             "plan_symbolic_s": round(t_sym, 4),
             "plan_schedule_s": round(t_sched, 4),
             "total_incl_symbolic_s": round(t_sym + best_total, 4),
-            "vs_baseline_incl_symbolic": round(t_base / (t_sym + best_total), 3),
+            "vs_baseline_incl_symbolic": round(t_base / (t_sym + best_total), 3)
+            if math.isfinite(t_base) else None,
             # None when the diagnostics fetch failed (dropped remote link)
             "gmres_iters": iters, "relres": res,
             "max_diag_ratio": cond,
@@ -472,7 +481,7 @@ def main():
             "sol_fraction": roofline["sol_fraction"],
             "sol_violation": roofline["sol_violation"],
             "baseline_proxy": "scipy_splu_1core_seconds",
-            "baseline_proxy_s": round(t_base, 4),
+            "baseline_proxy_s": round(t_base, 4) if math.isfinite(t_base) else None,
             # rep-0 wall times include jit compilation (cold start; warm-cache
             # reruns of the same shapes skip it via the persistent compile cache)
             "first_rep_setup_s": round(first["plan"] + first["factor"], 4),

@@ -311,8 +311,17 @@ def _factor_front_impl(front: jax.Array, sperm: jax.Array, ni_pad: int,
     R = dk.lu_solve(lu, perm, Aib)
     L = dk.lu_solve_right(lu, perm, Abi)
     S = dk.permute_sym(dk.schur_complement(Abb, Abi, R), sperm)
-    dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
-    return lu, perm, L, R, S, dinv, None
+    if explicit_inv:
+        # the solve sweeps use only dinv: dropping lu/perm from the level
+        # record halves persistent pivot-block memory (3D 64^3 solve-program
+        # compile exceeded HBM by ~1.1G keeping both); the conditioning guard
+        # keeps the pivot diag ratio instead
+        dinv = dk.lu_inverse(lu, perm)
+        d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+        ratio = jnp.max(d, -1) / jnp.maximum(jnp.min(d, -1),
+                                             jnp.finfo(d.dtype).tiny)
+        return None, None, L, R, S, dinv, ratio
+    return lu, perm, L, R, S, None, None
 
 
 _factor_front = partial(jax.jit, static_argnames=(
@@ -358,7 +367,13 @@ def _factor_front_compressed_impl(front: jax.Array, sperm: jax.Array, key,
             dk.lu_solve_right(lu, perm, jnp.swapaxes(lr_bi.V, -1, -2)),
             -1, -2)                               # D^{-T}-folded: [B, ni_pad, k]
         RU = dk.lu_solve(lu, perm, lr_ib.U)       # [B, ni_pad, k]
-        dinv = dk.lu_inverse(lu, perm) if explicit_inv else None
+        dinv = None
+        if explicit_inv:
+            dinv = dk.lu_inverse(lu, perm)
+            d = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+            ratio = jnp.max(d, -1) / jnp.maximum(jnp.min(d, -1),
+                                                 jnp.finfo(d.dtype).tiny)
+            lu = perm = None          # see _factor_front_impl memory note
 
     S = Abb - (Abi @ RU) @ jnp.swapaxes(lr_ib.V, -1, -2)
     S = dk.permute_sym(S, sperm)
@@ -938,8 +953,15 @@ def _root_from_stacks(plan: Plan, s_stacks, dtype, opts=None):
                          bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv,
                          diag_ratio=ratio[None] if ratio.ndim == 0 else ratio)
     lu, perm = dk.lu_factor(S_root)
-    inv = dk.lu_inverse(lu, perm) if opts.explicit_inverse else None
-    return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv)
+    if opts.explicit_inverse:
+        inv = dk.lu_inverse(lu, perm)
+        d = jnp.abs(jnp.diagonal(lu))
+        ratio = jnp.max(d) / jnp.maximum(jnp.min(d), jnp.finfo(d.dtype).tiny)
+        return RootSolve(lu=None, perm=None,
+                         bnd_ids=jnp.asarray(last.bnd_ids[0]), inv=inv,
+                         diag_ratio=ratio[None])
+    return RootSolve(lu=lu, perm=perm, bnd_ids=jnp.asarray(last.bnd_ids[0]),
+                     inv=None)
 
 
 def _traced_range(plan: Plan, fronts: List[jax.Array], opts, lo: int, hi: int,
